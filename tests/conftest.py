@@ -10,8 +10,16 @@ os.environ["XLA_FLAGS"] = (
 )
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax
+
+# Some environments force-register an accelerator platform from sitecustomize,
+# overriding JAX_PLATFORMS; pin CPU explicitly.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
 
 @pytest.fixture
