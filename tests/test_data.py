@@ -1,0 +1,210 @@
+"""Data-layer tests: split arithmetic, synthetic fixture trees, fluid and
+combustion datasets, normalizers, loader."""
+
+import numpy as np
+import pytest
+
+from realpdebench_tpu.data import splits as S
+from realpdebench_tpu.data.combustion import CombustionDataset
+from realpdebench_tpu.data.fluid import Cylinder, ControlledCylinder
+from realpdebench_tpu.data.loader import DataLoader, cycle_loader
+from realpdebench_tpu.data.normalizer import (
+    GaussianNormalizer,
+    RangeNormalizer,
+    build_normalizer,
+)
+from realpdebench_tpu.data.synthetic import make_combustion_tree, make_fluid_tree
+
+
+def test_split_counts_real():
+    spec = S.SplitSpec(
+        n_sim=10, n_sim_frame=100, in_step=10, out_step=10, N_autoregressive=1,
+        interval=10, train_ratio=0.5, dataset_type="real", split_numerical=False,
+        n_sim_in_distribution=1, n_sim_out_distribution=1, trunk_length=50,
+    )
+    assert spec.horizon == 20
+    assert spec.n_data_per_sim == (100 - 20 + 1) // 10
+    counts = S.compute_split_counts(spec)
+    total = spec.n_sim * spec.n_data_per_sim
+    assert counts["n_data_train"] == int(total * 0.5)
+    assert counts["n_data_val"] + counts["n_data_test"] == counts["n_data_val_test"]
+
+
+def test_split_counts_numerical_all_train():
+    spec = S.SplitSpec(
+        n_sim=4, n_sim_frame=64, in_step=8, out_step=8, N_autoregressive=1,
+        interval=4, train_ratio=0.5, dataset_type="numerical",
+        split_numerical=False, n_sim_in_distribution=0,
+        n_sim_out_distribution=0, trunk_length=32,
+    )
+    counts = S.compute_split_counts(spec)
+    assert counts["n_data_train"] == spec.n_sim * spec.n_data_per_sim
+    assert counts["n_data_val_test"] == 0
+
+
+@pytest.fixture(scope="module")
+def fluid_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_fluid_tree(str(root), "cylinder", n_sim=5, n_frame=64, h=16, w=16)
+    make_fluid_tree(str(root), "controlled_cylinder", n_sim=5, n_frame=64, h=16, w=16)
+    make_combustion_tree(str(root), n_sim=3, n_frame=40, h=16, w=16)
+    return str(root)
+
+
+def _cyl_kwargs(n_frame=64):
+    return dict(
+        in_step=4, out_step=4, interval=4, trunk_length=16, n_sim_frame=n_frame,
+        n_sim_in_distribution=1, n_sim_out_distribution=1,
+        sub_s_real=1, sub_s_numerical=1, generate_ids_if_missing=True,
+    )
+
+
+def test_cylinder_dataset_shapes(fluid_root):
+    ds = Cylinder("cylinder", fluid_root, "numerical", "train", **_cyl_kwargs())
+    assert len(ds) > 0
+    x, y = ds[0]
+    assert x.shape == (4, 16, 16, 3)
+    assert y.shape == (4, 16, 16, 3)
+    assert x.dtype == np.float32
+
+    # real data: p channel always zero
+    ds_r = Cylinder("cylinder", fluid_root, "real", "train", **_cyl_kwargs())
+    x, y = ds_r[0]
+    assert np.all(x[..., 2] == 0) and np.all(y[..., 2] == 0)
+
+
+def test_cylinder_val_test_disjoint_windows(fluid_root):
+    kw = _cyl_kwargs()
+    val = Cylinder("cylinder", fluid_root, "real", "val", **kw)
+    test = Cylinder("cylinder", fluid_root, "real", "test", **kw)
+    train = Cylinder("cylinder", fluid_root, "real", "train", **kw)
+    vp = set(zip(val.sim_id_mapping["val"], val.time_id_mapping["val"]))
+    tp = set(zip(test.sim_id_mapping["test"], test.time_id_mapping["test"]))
+    trp = set(zip(train.sim_id_mapping["train"], train.time_id_mapping["train"]))
+    assert vp.isdisjoint(tp)
+    assert trp.isdisjoint(vp | tp)
+    assert len(trp) > 0 and len(vp) > 0 and len(tp) > 0
+
+
+def test_cylinder_test_modes(fluid_root):
+    kw = _cyl_kwargs()
+    all_t = Cylinder("cylinder", fluid_root, "real", "test", test_mode="all", **kw)
+    seen = Cylinder("cylinder", fluid_root, "real", "test", test_mode="seen", **kw)
+    unseen = Cylinder("cylinder", fluid_root, "real", "test", test_mode="unseen", **kw)
+    assert len(seen) + len(unseen) == len(all_t)
+    seen_sims = set(seen.sim_id_mapping["test"])
+    assert seen_sims <= set(seen.remain_params.keys())
+
+
+def test_autoregressive_horizon_filter(fluid_root):
+    kw = _cyl_kwargs()
+    ds = Cylinder("cylinder", fluid_root, "real", "test", N_autoregressive=3, **kw)
+    # horizon = 4 + 4*3 = 16; all windows must fit inside 64 frames
+    for t in ds.time_id_mapping["test"]:
+        assert t + ds.horizon < 64
+    x, y = ds[0]
+    assert y.shape[0] == 12  # out_step * N_autoregressive
+
+
+def test_controlled_cylinder_param_channels(fluid_root):
+    ds = ControlledCylinder(
+        "controlled_cylinder", fluid_root, "numerical", "train", **_cyl_kwargs()
+    )
+    x, y = ds[0]
+    assert x.shape[-1] == 5  # u, v, p + 2 parameter planes
+    assert y.shape[-1] == 3
+    # parameter planes are constant
+    assert np.allclose(x[..., 3], x[0, 0, 0, 3])
+
+
+def test_mask_prob_and_noise(fluid_root):
+    kw = _cyl_kwargs()
+    ds = Cylinder(
+        "cylinder", fluid_root, "numerical", "train",
+        mask_prob=1.0, noise_scale=0.1, **kw,
+    )
+    x, y = ds[0]
+    assert np.all(x[..., 2] == 0)  # p always masked at mask_prob=1
+    ds2 = Cylinder(
+        "cylinder", fluid_root, "numerical", "train", mask_prob=0.0, **kw
+    )
+    x2, _ = ds2[0]
+    assert not np.all(x2[..., 2] == 0)
+
+
+def test_combustion_dataset(fluid_root):
+    kw = dict(
+        in_step=4, out_step=4, interval=2, trunk_length=10, n_sim_frame=40,
+        sub_s_real=1, sub_s_numerical=1, generate_ids_if_missing=True,
+    )
+    real = CombustionDataset("combustion", fluid_root, "real", "train", **kw)
+    x, y = real[0]
+    assert x.shape == (4, 16, 16, 16)
+    assert np.all(x[..., 1:] == 0)  # 15 unobserved channels zero for real
+
+    num = CombustionDataset(
+        "combustion", fluid_root, "numerical", "train", mask_prob=0.0, **kw
+    )
+    x, y = num[0]
+    assert x.shape[-1] == 16
+    assert not np.all(x[..., 1:] == 0)
+
+
+def test_gaussian_normalizer_roundtrip(fluid_root):
+    ds = Cylinder("cylinder", fluid_root, "numerical", "train", **_cyl_kwargs())
+    norm = GaussianNormalizer(ds, batch_size=8, is_save=False)
+    x, y = ds[0]
+    xn, yn = norm.preprocess(x[None], y[None])
+    xr, yr = norm.postprocess(xn, yn)
+    np.testing.assert_allclose(np.asarray(xr), x[None], rtol=1e-4, atol=1e-5)
+    # normalized data roughly zero-mean unit-var per channel
+    assert abs(float(np.asarray(xn).mean())) < 1.0
+
+
+def test_gaussian_normalizer_channel_slicing(fluid_root):
+    ds = Cylinder("cylinder", fluid_root, "numerical", "train", **_cyl_kwargs())
+    norm = GaussianNormalizer(ds, batch_size=8, is_save=False)
+    x, y = ds[0]
+    xn, yn = norm.preprocess(x[None, ..., :2], y[None, ..., :2])
+    assert xn.shape[-1] == 2
+
+
+def test_range_normalizer(fluid_root):
+    ds = Cylinder("cylinder", fluid_root, "numerical", "train", **_cyl_kwargs())
+    norm = build_normalizer("range", ds, batch_size=8, is_save=False)
+    x, y = ds[0]
+    xn, _ = norm.preprocess(x[None], y[None])
+    assert float(np.abs(np.asarray(xn)).max()) <= 1.0 + 1e-5
+
+
+def test_normalizer_cache(fluid_root, tmp_path):
+    ds = Cylinder("cylinder", fluid_root, "numerical", "train", **_cyl_kwargs())
+    n1 = GaussianNormalizer(ds, batch_size=8, is_save=True, cache_dir=str(tmp_path))
+    n2 = GaussianNormalizer(ds, batch_size=8, is_save=True, cache_dir=str(tmp_path))
+    np.testing.assert_allclose(
+        np.asarray(n1.mean_inputs), np.asarray(n2.mean_inputs)
+    )
+
+
+def test_loader_shapes_and_cycle(fluid_root):
+    ds = Cylinder("cylinder", fluid_root, "numerical", "train", **_cyl_kwargs())
+    loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, num_workers=2)
+    batches = list(loader)
+    assert all(x.shape[0] == 4 for x, y in batches)
+    it = cycle_loader(loader, background=False)
+    for _ in range(len(batches) + 2):  # wraps around
+        x, y = next(it)
+        assert x.shape[0] == 4
+
+
+def test_loader_pad_last(fluid_root):
+    ds = Cylinder("cylinder", fluid_root, "numerical", "train", **_cyl_kwargs())
+    n = len(ds)
+    bs = 4 if n % 4 else 3
+    if n % bs == 0:
+        bs = n - 1
+    loader = DataLoader(ds, batch_size=bs, pad_last=True)
+    *_, last = list(loader)
+    x, y, mask = last
+    assert x.shape[0] == bs
+    assert mask.sum() == n % bs
