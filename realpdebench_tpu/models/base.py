@@ -1,0 +1,76 @@
+"""Model contract for the framework.
+
+Reference contract (`realpdebench/model/model.py:4-26`): forward maps
+``[B, T_in, H, W, C_in] → [B, T_out, H, W, C_out]``; ``train_loss`` defaults to
+elementwise MSE; checkpoints round-trip through a state-dict-like mapping.
+
+TPU-native design: models are stateless Flax modules; parameters and mutable
+collections (batch_stats) live in a pytree owned by the caller, so one jitted
+train step covers every model. ``ModelBundle`` wraps a module with:
+
+  * ``init(rng, sample_x)``     → variables
+  * ``predict(variables, x)``   → deterministic forward (eval path)
+  * ``loss(variables, x, y, rng, train)`` → (scalar loss, new mutable state)
+
+Stochastic models (WDNO diffusion) override ``loss``/``predict`` with
+rng-consuming versions; everything else gets MSE for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def mse(pred, target):
+    return jnp.mean((pred - target) ** 2)
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    name: str
+    module: Any  # flax linen module
+    mutable: tuple = ()  # e.g. ("batch_stats",)
+    needs_train_flag: bool = True
+    stochastic: bool = False  # loss/predict consume rng (diffusion models)
+    # Optional overrides
+    loss_fn: Optional[Callable] = None
+    predict_fn: Optional[Callable] = None
+    # Non-trainable host models (DMD) bypass the train loop entirely
+    trainable: bool = True
+
+    def init(self, rng, sample_x):
+        kwargs = {"train": False} if self.needs_train_flag else {}
+        return self.module.init(rng, jnp.asarray(sample_x), **kwargs)
+
+    def split_variables(self, variables):
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        return params, model_state
+
+    def predict(self, variables, x, rng=None):
+        if self.predict_fn is not None:
+            return self.predict_fn(self.module, variables, x, rng)
+        kwargs = {"train": False} if self.needs_train_flag else {}
+        return self.module.apply(variables, x, **kwargs)
+
+    def loss(self, variables, x, y, rng, train: bool = True):
+        """Returns (loss, new_model_state)."""
+        if self.loss_fn is not None:
+            return self.loss_fn(self.module, variables, x, y, rng, train)
+        kwargs = {"train": train} if self.needs_train_flag else {}
+        if self.mutable and train:
+            pred, new_state = self.module.apply(
+                variables, x, mutable=list(self.mutable), **kwargs
+            )
+            return mse(pred, y), new_state
+        pred = self.module.apply(variables, x, **kwargs)
+        return mse(pred, y), {}
+
+    def param_count(self, variables) -> int:
+        return sum(
+            p.size for p in jax.tree_util.tree_leaves(variables.get("params", {}))
+        )
