@@ -69,7 +69,9 @@ def merge_config(args: argparse.Namespace, explicit_keys=None) -> Config:
     out["config"] = cfg_path
     existing = set(out.keys()) if explicit_keys is None else set(explicit_keys)
     for key, value in data.items():
-        if key not in existing:
+        # YAML fills keys argparse doesn't know, and keys argparse left at
+        # None (e.g. --checkpoint_path not passed on the CLI).
+        if key not in existing or out.get(key) is None:
             out[key] = value
     return Config(**out)
 
