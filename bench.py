@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark: cylinder/FNO train step throughput + rollout frames/sec on TPU.
+
+Workload matches the reference's headline configuration
+(`configs/cylinder/fno.yaml`: batch 32, window (20, 64, 64, 3), modes
+(4, 12, 16), 4 layers, width 64 — see BASELINE.md) with synthetic data, so no
+dataset download is needed. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+``vs_baseline`` compares against an estimated A100 PyTorch reference step rate
+(the repo publishes no numbers — BASELINE.md; the estimate, ~6 train steps/s
+for this workload on A100, is derived from the reference's wall-clock logging
+granularity and typical torch FNO3d throughput). Target is ≥5× (BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Estimated A100 torch reference throughput for cylinder/FNO (steps/sec).
+A100_REFERENCE_STEPS_PER_SEC = 6.0
+
+BATCH = 32
+SHAPE_IN = (20, 64, 128, 3)
+SHAPE_OUT = (20, 64, 128, 3)
+N_AUTOREGRESSIVE = 10
+EVAL_BATCH = 64
+
+
+def main():
+    from realpdebench_tpu.config import Config
+    from realpdebench_tpu.data.normalizer import IdentityNormalizer
+    from realpdebench_tpu.eval.rollout import make_rollout_fn
+    from realpdebench_tpu.models.registry import build_model
+    from realpdebench_tpu.train.train_step import (
+        TrainState,
+        build_optimizer,
+        make_train_step,
+    )
+
+    n_chips = jax.device_count()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((BATCH, *SHAPE_IN)).astype(np.float32)
+    y = rng.standard_normal((BATCH, *SHAPE_OUT)).astype(np.float32)
+
+    bundle = build_model(
+        shapes=(SHAPE_IN, SHAPE_OUT),
+        model_name="fno", modes1=4, modes2=12, modes3=16, n_layers=4, width=64,
+        compute_dtype="bfloat16",
+    )
+    variables = bundle.init(jax.random.PRNGKey(0), x[:1])
+    params, model_state = bundle.split_variables(variables)
+    cfg = Config(lr=1e-4, scheduler="cosine", num_update=4000, clip_grad_norm=0.0)
+    state = TrainState.create(params, model_state, build_optimizer(cfg))
+    step = make_train_step(bundle, IdentityNormalizer())
+
+    xd, yd = jax.device_put(x), jax.device_put(y)
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    state, loss = step(state, xd, yd, key)
+    jax.block_until_ready(loss)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, k = jax.random.split(key)
+        state, loss = step(state, xd, yd, k)
+    jax.block_until_ready(loss)
+    train_dt = time.perf_counter() - t0
+    steps_per_sec = n_steps / train_dt
+    steps_per_sec_chip = steps_per_sec / n_chips
+
+    # rollout frames/sec (eval path: batch 64, 10 autoregressive steps)
+    xr = rng.standard_normal((EVAL_BATCH, *SHAPE_IN)).astype(np.float32)
+    yr = rng.standard_normal(
+        (EVAL_BATCH, SHAPE_OUT[0] * N_AUTOREGRESSIVE, *SHAPE_OUT[1:])
+    ).astype(np.float32)
+    rollout = make_rollout_fn(bundle, IdentityNormalizer(), N_AUTOREGRESSIVE)
+    eval_vars = {"params": state.params, **state.model_state}
+    pred, _, _ = rollout(eval_vars, xr, yr, key)
+    jax.block_until_ready(pred)
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        pred, _, _ = rollout(eval_vars, xr, yr, key)
+    jax.block_until_ready(pred)
+    roll_dt = (time.perf_counter() - t0) / n_rep
+    frames_per_sec = EVAL_BATCH * N_AUTOREGRESSIVE * SHAPE_OUT[0] / roll_dt
+
+    result = {
+        "metric": "train steps/sec/chip (cylinder FNO, bs32)",
+        "value": round(steps_per_sec_chip, 3),
+        "unit": "steps/s/chip",
+        "vs_baseline": round(steps_per_sec_chip / A100_REFERENCE_STEPS_PER_SEC, 3),
+        "rollout_frames_per_sec": round(frames_per_sec, 1),
+        "n_chips": n_chips,
+        "device": str(jax.devices()[0].platform),
+        "final_loss": float(loss),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

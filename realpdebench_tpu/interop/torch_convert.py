@@ -82,18 +82,22 @@ def convert_fno(sd, params_template, model_state_template):
         w = np.stack(
             [sd[f"spectral_convs.{i}.weights{k}"] for k in (1, 2, 3, 4)]
         )
-        params[f"spectral_{i}"] = {
-            "w_real": w.real.astype(np.float32),
-            "w_imag": w.imag.astype(np.float32),
-        }
         cw = sd[f"convs.{i}.weight"][:, :, 0, 0, 0]
-        params[f"pointwise_{i}"] = {"kernel": cw.T, "bias": sd[f"convs.{i}.bias"]}
-        params[f"bn_{i}"] = {
-            "scale": sd[f"bns.{i}.weight"],
-            "bias": sd[f"bns.{i}.bias"],
+        params[f"layer_{i}"] = {
+            "spectral": {
+                "w_real": w.real.astype(np.float32),
+                "w_imag": w.imag.astype(np.float32),
+            },
+            "pointwise": {"kernel": cw.T, "bias": sd[f"convs.{i}.bias"]},
+            "bn": {
+                "scale": sd[f"bns.{i}.weight"],
+                "bias": sd[f"bns.{i}.bias"],
+            },
         }
-        batch_stats[f"bn_{i}"] = {
-            "mean": sd[f"bns.{i}.running_mean"],
-            "var": sd[f"bns.{i}.running_var"],
+        batch_stats[f"layer_{i}"] = {
+            "bn": {
+                "mean": sd[f"bns.{i}.running_mean"],
+                "var": sd[f"bns.{i}.running_var"],
+            }
         }
     return params, {"batch_stats": batch_stats}

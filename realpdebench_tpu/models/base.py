@@ -57,11 +57,17 @@ class ModelBundle:
         kwargs = {"train": False} if self.needs_train_flag else {}
         return self.module.apply(variables, x, **kwargs)
 
+    def _rngs(self, rng, train):
+        if self.stochastic and train and rng is not None:
+            return {"rngs": {"dropout": rng}}
+        return {}
+
     def loss(self, variables, x, y, rng, train: bool = True):
         """Returns (loss, new_model_state)."""
         if self.loss_fn is not None:
             return self.loss_fn(self.module, variables, x, y, rng, train)
         kwargs = {"train": train} if self.needs_train_flag else {}
+        kwargs.update(self._rngs(rng, train))
         if self.mutable and train:
             pred, new_state = self.module.apply(
                 variables, x, mutable=list(self.mutable), **kwargs

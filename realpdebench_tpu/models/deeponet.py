@@ -1,0 +1,102 @@
+"""DeepONet — branch-trunk operator network.
+
+Functional parity with the reference (`realpdebench/model/deeponet.py:9-151`):
+branch = 4-stage 3-D CNN (Conv k3 'same' + BN + ReLU + MaxPool 2, final stage
+adaptive-avg-pool to (1,4,4)) → FC → p-vector; trunk = MLP on normalized
+(t, y, x) query coordinates of the OUTPUT grid; output = MLP(branch ⊙ trunk)
+per query point, reshaped to [B, T_out, H, W, C_out].
+
+TPU notes: channels-last convs feed the MXU directly; the trunk grid is a
+compile-time constant (static shapes) so XLA folds the coordinate tensor; the
+branch's BatchNorm runs in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from realpdebench_tpu.ops.spectral import grid_features
+
+
+def adaptive_avg_pool3d(x, out_sizes):
+    """torch AdaptiveAvgPool3d semantics over axes (1,2,3) of [B,T,H,W,C]:
+    output bin i averages input[floor(i*n/o) : ceil((i+1)*n/o)]."""
+    for axis, out in zip((1, 2, 3), out_sizes):
+        n = x.shape[axis]
+        if n == out:
+            continue
+        pieces = []
+        for i in range(out):
+            start = (i * n) // out
+            end = -(-((i + 1) * n) // out)  # ceil
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(start, end)
+            pieces.append(x[tuple(sl)].mean(axis=axis, keepdims=True))
+        x = jnp.concatenate(pieces, axis=axis)
+    return x
+
+
+class BranchNet(nn.Module):
+    p: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [B, T, H, W, C]
+        for feats in (32, 64, 128):
+            x = nn.Conv(feats, kernel_size=(3, 3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5)(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+        x = nn.Conv(256, kernel_size=(3, 3, 3), padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        x = nn.relu(x)
+        x = adaptive_avg_pool3d(x, (1, 4, 4))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(512)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return nn.Dense(self.p)(x)
+
+
+class TrunkNet(nn.Module):
+    p: int
+
+    @nn.compact
+    def __call__(self, coords):
+        x = nn.relu(nn.Dense(64)(coords))
+        x = nn.relu(nn.Dense(128)(x))
+        return nn.Dense(self.p)(x)
+
+
+class DeepONet(nn.Module):
+    shape_in: Sequence[int]
+    shape_out: Sequence[int]
+    p: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, T_in, H, W, C = x.shape
+        T_out = self.shape_out[0]
+
+        b = BranchNet(self.p, self.dropout_rate, name="branch")(x, train=train)
+
+        gt, gy, gx = grid_features((T_out, H, W))
+        coords = jnp.concatenate([gt, gy, gx], axis=-1).reshape(-1, 3)
+        t = TrunkNet(self.p, name="trunk")(coords)  # [N, p]
+
+        feat = b[:, None, :] * t[None, :, :]  # [B, N, p]
+        out = nn.Dense(512, name="out_fc1")(feat)
+        out = nn.relu(out)
+        out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+        out = nn.Dense(128, name="out_fc2")(out)
+        out = nn.relu(out)
+        out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+        out = nn.Dense(self.shape_out[-1], name="out_fc3")(out)
+        return out.reshape(B, T_out, H, W, -1)

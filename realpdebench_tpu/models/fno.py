@@ -59,6 +59,38 @@ class SpectralConv3d(nn.Module):
         return truncated_spectral_conv3d(x, w_real, w_imag)
 
 
+class FNOLayer(nn.Module):
+    """One Fourier layer: spectral conv + pointwise mixing + BN (+GELU).
+
+    Rematerialized by default: the rfftn/irfftn intermediates dominate
+    activation memory (complex64 full spectra per layer); recomputing them in
+    the backward pass keeps peak HBM ~one layer deep instead of n_layers."""
+
+    width: int
+    modes1: int
+    modes2: int
+    modes3: int
+    apply_gelu: bool
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x1 = SpectralConv3d(
+            self.width, self.width, self.modes1, self.modes2, self.modes3,
+            name="spectral",
+        )(x)
+        x2 = nn.Dense(self.width, name="pointwise", dtype=self.compute_dtype)(
+            x
+        ).astype(jnp.float32)
+        x = x1 + x2
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+        if self.apply_gelu:
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
 class FNO3d(nn.Module):
     modes1: int
     modes2: int
@@ -69,6 +101,7 @@ class FNO3d(nn.Module):
     shape_out: Sequence[int]  # (T_out, H, W, C_out)
     padding: int = 6
     compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -83,33 +116,26 @@ class FNO3d(nn.Module):
         )
         x = jnp.concatenate([x.astype(jnp.float32), grid], axis=-1)
 
-        x = nn.Dense(self.width, name="fc0")(x)
+        dt = self.compute_dtype
+        x = nn.Dense(self.width, name="fc0", dtype=dt)(x)
         # end-pad (T, H, W) for non-periodic domains (fno.py:111)
         p = self.padding
         x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, p), (0, 0)))
 
+        layer_cls = (
+            nn.remat(FNOLayer, static_argnums=(2,)) if self.remat else FNOLayer
+        )
         for i in range(self.n_layers):
-            x1 = SpectralConv3d(
-                self.width, self.width, self.modes1, self.modes2, self.modes3,
-                name=f"spectral_{i}",
-            )(x)
-            x2 = nn.Dense(self.width, use_bias=True, name=f"pointwise_{i}")(
-                x.astype(self.compute_dtype)
-            ).astype(jnp.float32)
-            x = x1 + x2
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                name=f"bn_{i}",
-            )(x)
-            if i < self.n_layers - 1:
-                x = nn.gelu(x, approximate=False)
+            x = layer_cls(
+                self.width, self.modes1, self.modes2, self.modes3,
+                apply_gelu=i < self.n_layers - 1, compute_dtype=dt,
+                name=f"layer_{i}",
+            )(x, train)
 
         x = x[:, :-p, :-p, :-p, :]
-        x = nn.Dense(128, name="fc1")(x.astype(self.compute_dtype))
+        x = nn.Dense(128, name="fc1", dtype=dt)(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(c_out * mult, name="fc2")(x)
+        x = nn.Dense(c_out * mult, name="fc2", dtype=dt)(x)
         x = x.astype(jnp.float32)
 
         # [B,T,H,W,c_out*mult] -> [B,T,H,W,c_out,mult] -> [B,T,mult,H,W,c_out]

@@ -60,7 +60,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             dropout_rate=kwargs.get("dropout_rate", 0.0),
         )
         return ModelBundle(
-            name="deeponet", module=module, mutable=(),
+            name="deeponet", module=module, mutable=("batch_stats",),
             needs_train_flag=True, stochastic=True,  # dropout rng
         )
 

@@ -80,18 +80,25 @@ def test_parity_with_reference_torch(rng):
         w = np.stack(
             [sd[f"spectral_convs.{i}.weights{k}"].numpy() for k in (1, 2, 3, 4)]
         )
-        params[f"spectral_{i}"]["w_real"] = w.real.astype(np.float32)
-        params[f"spectral_{i}"]["w_imag"] = w.imag.astype(np.float32)
         cw = sd[f"convs.{i}.weight"].numpy()[:, :, 0, 0, 0]
-        params[f"pointwise_{i}"]["kernel"] = cw.T
-        params[f"pointwise_{i}"]["bias"] = sd[f"convs.{i}.bias"].numpy()
-        params[f"bn_{i}"] = {
-            "scale": sd[f"bns.{i}.weight"].numpy(),
-            "bias": sd[f"bns.{i}.bias"].numpy(),
+        params[f"layer_{i}"] = {
+            "spectral": {
+                "w_real": w.real.astype(np.float32),
+                "w_imag": w.imag.astype(np.float32),
+            },
+            "pointwise": {
+                "kernel": cw.T, "bias": sd[f"convs.{i}.bias"].numpy(),
+            },
+            "bn": {
+                "scale": sd[f"bns.{i}.weight"].numpy(),
+                "bias": sd[f"bns.{i}.bias"].numpy(),
+            },
         }
-        batch_stats[f"bn_{i}"] = {
-            "mean": sd[f"bns.{i}.running_mean"].numpy(),
-            "var": sd[f"bns.{i}.running_var"].numpy(),
+        batch_stats[f"layer_{i}"] = {
+            "bn": {
+                "mean": sd[f"bns.{i}.running_mean"].numpy(),
+                "var": sd[f"bns.{i}.running_var"].numpy(),
+            }
         }
 
     variables = {"params": params, "batch_stats": batch_stats}
