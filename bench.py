@@ -28,7 +28,7 @@ BATCH = 32
 SHAPE_IN = (20, 64, 128, 3)
 SHAPE_OUT = (20, 64, 128, 3)
 N_AUTOREGRESSIVE = 10
-EVAL_BATCH = 64
+EVAL_BATCH = 16  # fits one v5e chip; frames/sec is batch-normalized anyway
 
 
 def main():
@@ -56,7 +56,10 @@ def main():
     params, model_state = bundle.split_variables(variables)
     cfg = Config(lr=1e-4, scheduler="cosine", num_update=4000, clip_grad_norm=0.0)
     state = TrainState.create(params, model_state, build_optimizer(cfg))
-    step = make_train_step(bundle, IdentityNormalizer())
+    # microbatch so bs-32 fp32 activations fit one v5e chip's 16G HBM;
+    # gradient semantics identical to the full batch
+    grad_accum = 4 if n_chips == 1 else 1
+    step = make_train_step(bundle, IdentityNormalizer(), grad_accum=grad_accum)
 
     xd, yd = jax.device_put(x), jax.device_put(y)
     key = jax.random.PRNGKey(0)
@@ -101,6 +104,7 @@ def main():
         "n_chips": n_chips,
         "device": str(jax.devices()[0].platform),
         "final_loss": float(loss),
+        "grad_accum": grad_accum,
     }
     print(json.dumps(result))
 

@@ -145,7 +145,8 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
     # params/opt state replicated across the mesh (batch is dp-sharded)
     state = jax.device_put(state, mesh_ctx.replicated)
 
-    step_fn = make_train_step(bundle, normalizer, mesh_ctx)
+    step_fn = make_train_step(bundle, normalizer, mesh_ctx,
+                              grad_accum=int(cfg.get("grad_accum", 1) or 1))
     eval_fn = None  # built lazily once c is known
 
     num_update = int(cfg.num_update)

@@ -74,12 +74,31 @@ def build_optimizer(cfg) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
-def make_train_step(bundle, normalizer, mesh_ctx: Optional[MeshContext] = None):
+def make_train_step(
+    bundle,
+    normalizer,
+    mesh_ctx: Optional[MeshContext] = None,
+    grad_accum: int = 1,
+):
     """Build the jitted data-parallel train step.
 
     step(state, x, y, rng) -> (new_state, loss). x/y arrive batch-sharded on
     dp (the loader places them); state is replicated.
+
+    ``grad_accum`` > 1 splits the batch into that many microbatches processed
+    by a `lax.scan` with gradient averaging before one optimizer update —
+    activation memory scales with the microbatch, gradient semantics stay
+    those of the full batch. Mutable model state (BatchNorm running stats)
+    threads sequentially through the microbatches.
     """
+
+    def _loss_and_grad(params, model_state, xn, yn, rng):
+        def loss_fn(p):
+            variables = {"params": p, **model_state}
+            loss, new_ms = bundle.loss(variables, xn, yn, rng, train=True)
+            return loss, new_ms
+
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
     def _step(state: TrainState, x, y, rng):
         if mesh_ctx is not None:
@@ -91,14 +110,36 @@ def make_train_step(bundle, normalizer, mesh_ctx: Optional[MeshContext] = None):
             )
         xn, yn = normalizer.preprocess(x, y)
 
-        def loss_fn(params):
-            variables = {"params": params, **state.model_state}
-            loss, new_ms = bundle.loss(variables, xn, yn, rng, train=True)
-            return loss, new_ms
+        if grad_accum <= 1:
+            (loss, new_ms), grads = _loss_and_grad(
+                state.params, state.model_state, xn, yn, rng
+            )
+        else:
+            k = grad_accum
+            b = xn.shape[0]
+            assert b % k == 0, f"batch {b} not divisible by grad_accum {k}"
+            xm = xn.reshape(k, b // k, *xn.shape[1:])
+            ym = yn.reshape(k, b // k, *yn.shape[1:])
+            rngs = jax.random.split(rng, k)
 
-        (loss, new_ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+            def micro(carry, inp):
+                ms, grad_acc, loss_acc = carry
+                xb, yb, kb = inp
+                (loss, new_ms), grads = _loss_and_grad(
+                    state.params, ms, xb, yb, kb
+                )
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return (new_ms if new_ms else ms, grad_acc, loss_acc + loss), None
+
+            zero_grads = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+            (new_ms, grads, loss_sum), _ = jax.lax.scan(
+                micro, (state.model_state, zero_grads, 0.0), (xm, ym, rngs)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / k, grads)
+            loss = loss_sum / k
+
         updates, new_opt_state = state.tx.update(
             grads, state.opt_state, state.params
         )
