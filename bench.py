@@ -75,6 +75,7 @@ def main():
         state, loss = step(state, xd, yd, k)
     jax.block_until_ready(loss)
     train_dt = time.perf_counter() - t0
+    final_loss = float(np.asarray(jax.device_get(loss)))
     steps_per_sec = n_steps / train_dt
     steps_per_sec_chip = steps_per_sec / n_chips
 
@@ -103,7 +104,7 @@ def main():
         "rollout_frames_per_sec": round(frames_per_sec, 1),
         "n_chips": n_chips,
         "device": str(jax.devices()[0].platform),
-        "final_loss": float(loss),
+        "final_loss": final_loss,
         "grad_accum": grad_accum,
     }
     print(json.dumps(result))

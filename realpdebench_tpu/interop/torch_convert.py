@@ -66,6 +66,35 @@ def _dense(sd, tkey):
     return {"kernel": sd[f"{tkey}.weight"].T, "bias": sd[f"{tkey}.bias"]}
 
 
+def _dense_nobias(sd, tkey):
+    return {"kernel": sd[f"{tkey}.weight"].T}
+
+
+def _conv(sd, tkey):
+    """torch ConvNd (O, I, *K) → flax (*K, I, O)."""
+    w = sd[f"{tkey}.weight"]
+    perm = tuple(range(2, w.ndim)) + (1, 0)
+    out = {"kernel": np.ascontiguousarray(w.transpose(perm))}
+    if f"{tkey}.bias" in sd:
+        out["bias"] = sd[f"{tkey}.bias"]
+    return out
+
+
+def _conv_transpose(sd, tkey):
+    """torch ConvTransposeNd (I, O, *K) → flax transpose_kernel=True
+    layout (*K, O, I)."""
+    w = sd[f"{tkey}.weight"]
+    perm = tuple(range(2, w.ndim)) + (1, 0)
+    out = {"kernel": np.ascontiguousarray(w.transpose(perm))}
+    if f"{tkey}.bias" in sd:
+        out["bias"] = sd[f"{tkey}.bias"]
+    return out
+
+
+def _groupnorm(sd, tkey):
+    return {"scale": sd[f"{tkey}.weight"], "bias": sd[f"{tkey}.bias"]}
+
+
 @register_converter("fno")
 def convert_fno(sd, params_template, model_state_template):
     """FNO3d mapping (reference model/fno.py:66-143 ↔ models/fno.py)."""
@@ -101,3 +130,104 @@ def convert_fno(sd, params_template, model_state_template):
             }
         }
     return params, {"batch_stats": batch_stats}
+
+
+def _unet_resnet_block(sd, pre, has_time=True):
+    out = {
+        "block1": {
+            "proj": _conv(sd, f"{pre}.block1.proj"),
+            "norm": _groupnorm(sd, f"{pre}.block1.norm"),
+        },
+        "block2": {
+            "proj": _conv(sd, f"{pre}.block2.proj"),
+            "norm": _groupnorm(sd, f"{pre}.block2.norm"),
+        },
+    }
+    if has_time and f"{pre}.mlp.1.weight" in sd:
+        out["mlp"] = _dense(sd, f"{pre}.mlp.1")
+    if f"{pre}.res_conv.weight" in sd:
+        out["res_conv"] = _conv(sd, f"{pre}.res_conv")
+    return out
+
+
+def _unet_temporal_attn(sd, pre):
+    """Residual(PreNorm(EinopsToAndFrom(Attention))) key paths
+    (reference unet.py:390,405): {pre}.fn.norm.gamma, {pre}.fn.fn.fn.to_*."""
+    return (
+        {"gamma": sd[f"{pre}.fn.norm.gamma"].reshape(-1)},
+        {
+            "to_qkv": _dense_nobias(sd, f"{pre}.fn.fn.fn.to_qkv"),
+            "to_out": _dense_nobias(sd, f"{pre}.fn.fn.fn.to_out"),
+        },
+    )
+
+
+def _unet_spatial_linear_attn(sd, pre):
+    return (
+        {"gamma": sd[f"{pre}.fn.norm.gamma"].reshape(-1)},
+        {
+            "to_qkv": _conv(sd, f"{pre}.fn.fn.to_qkv"),
+            "to_out": _conv(sd, f"{pre}.fn.fn.to_out"),
+        },
+    )
+
+
+@register_converter("unet")
+def convert_unet(sd, params_template, model_state_template):
+    """Unet3d mapping (reference model/unet.py:360-567 ↔ models/unet.py)."""
+    p = {}
+    p["init_conv"] = _conv(sd, "init_conv")
+    p["init_attn_norm"], p["init_temporal_attn"] = _unet_temporal_attn(
+        sd, "init_temporal_attn"
+    )
+    p["time_rel_pos_bias"] = {
+        "embedding": sd["time_rel_pos_bias.relative_attention_bias.weight"]
+    }
+    p["time_mlp_1"] = _dense(sd, "time_mlp.1")
+    p["time_mlp_2"] = _dense(sd, "time_mlp.3")
+
+    n_down = len({k.split(".")[1] for k in sd if k.startswith("downs.")})
+    for i in range(n_down):
+        pre = f"downs.{i}"
+        p[f"down_{i}_block1"] = _unet_resnet_block(sd, f"{pre}.0")
+        p[f"down_{i}_block2"] = _unet_resnet_block(sd, f"{pre}.1")
+        if f"{pre}.2.fn.norm.gamma" in sd:
+            (p[f"down_{i}_spatial_norm"],
+             p[f"down_{i}_spatial_attn"]) = _unet_spatial_linear_attn(
+                sd, f"{pre}.2"
+            )
+        (p[f"down_{i}_temporal_norm"],
+         p[f"down_{i}_temporal_attn"]) = _unet_temporal_attn(sd, f"{pre}.3")
+        if f"{pre}.4.weight" in sd:
+            p[f"down_{i}_downsample"] = _conv(sd, f"{pre}.4")
+
+    p["mid_block1"] = _unet_resnet_block(sd, "mid_block1")
+    p["mid_spatial_norm"] = {
+        "gamma": sd["mid_spatial_attn.fn.norm.gamma"].reshape(-1)
+    }
+    p["mid_spatial_attn"] = {
+        "to_qkv": _dense_nobias(sd, "mid_spatial_attn.fn.fn.fn.to_qkv"),
+        "to_out": _dense_nobias(sd, "mid_spatial_attn.fn.fn.fn.to_out"),
+    }
+    (p["mid_temporal_norm"],
+     p["mid_temporal_attn"]) = _unet_temporal_attn(sd, "mid_temporal_attn")
+    p["mid_block2"] = _unet_resnet_block(sd, "mid_block2")
+
+    n_up = len({k.split(".")[1] for k in sd if k.startswith("ups.")})
+    for i in range(n_up):
+        pre = f"ups.{i}"
+        p[f"up_{i}_block1"] = _unet_resnet_block(sd, f"{pre}.0")
+        p[f"up_{i}_block2"] = _unet_resnet_block(sd, f"{pre}.1")
+        if f"{pre}.2.fn.norm.gamma" in sd:
+            (p[f"up_{i}_spatial_norm"],
+             p[f"up_{i}_spatial_attn"]) = _unet_spatial_linear_attn(
+                sd, f"{pre}.2"
+            )
+        (p[f"up_{i}_temporal_norm"],
+         p[f"up_{i}_temporal_attn"]) = _unet_temporal_attn(sd, f"{pre}.3")
+        if f"{pre}.4.weight" in sd:
+            p[f"up_{i}_upsample"] = _conv_transpose(sd, f"{pre}.4")
+
+    p["final_block"] = _unet_resnet_block(sd, "final_conv.0", has_time=False)
+    p["final_conv"] = _conv(sd, "final_conv.1")
+    return p, {}
