@@ -1,0 +1,248 @@
+"""Galerkin Transformer — linear-attention operator transformer.
+
+Functional parity with the reference wrapper
+(`realpdebench/model/galerkin_transformer.py:12-222`) and its vendored libs
+(`galerkin_transformer_libs/layers.py:708-951`, `model.py:22-129,521-638`),
+specialized to the benchmark configuration (configs/*/galerkin_transformer.yaml):
+Identity scalers (a single Linear lift), ``num_encoder_layers`` encoder layers
+with *galerkin*-type attention, and an ``ifft2`` SpectralRegressor decoder
+(one-or-more truncated 3-D spectral conv layers, shared op with FNO).
+
+Galerkin attention is softmax-free: per-head LayerNorm on K and V, then
+``Q · (Kᵀ V) / N`` — two dense GEMMs, linear in sequence length N = T·H·W
+(163k tokens for cylinder); the d×d contraction sits on the MXU and the
+N-axis is embarrassingly shardable (a future sequence-parallel axis).
+
+Deliberate deviation: the reference applies `F.dropout(p=0.5)` to the score
+matrix unconditionally — training *and* eval (layers.py:730-732 calls the
+functional form with defaults). Here score dropout (p=0.5, matching the
+training distribution) is applied only in training; eval is deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from realpdebench_tpu.ops.spectral import grid_features, truncated_spectral_conv3d
+
+
+def _xavier_diag_init(gain: float, diagonal_weight: float):
+    """Reference SimpleAttention._reset_parameters (layers.py:903-916):
+    xavier-uniform(gain) + diagonal_weight·I on the d_model×d_model q/k/v."""
+
+    def init(key, shape, dtype=jnp.float32):
+        w = nn.initializers.xavier_uniform()(key, shape, dtype) * gain
+        if shape[0] == shape[1]:
+            w = w + diagonal_weight * jnp.eye(shape[0], dtype=dtype)
+        return w
+
+    return init
+
+
+class PerHeadLayerNorm(nn.Module):
+    """Independent affine LayerNorm per head over d_k (layers.py:938-941)."""
+
+    n_head: int
+    d_k: int
+    eps: float
+
+    @nn.compact
+    def __call__(self, x):  # [B, h, N, d_k]
+        scale = self.param("scale", nn.initializers.ones, (self.n_head, self.d_k))
+        bias = self.param("bias", nn.initializers.zeros, (self.n_head, self.d_k))
+        mean = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        xn = (x - mean) / jnp.sqrt(var + self.eps)
+        return xn * scale[None, :, None, :] + bias[None, :, None, :]
+
+
+class GalerkinAttention(nn.Module):
+    d_model: int
+    n_head: int
+    norm_eps: float = 1e-5
+    xavier_init: float = 1e-2
+    diagonal_weight: float = 1e-2
+    score_dropout: float = 0.5  # reference F.dropout default (train-only here)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, N, _ = x.shape
+        d_k = self.d_model // self.n_head
+        init = _xavier_diag_init(self.xavier_init, self.diagonal_weight)
+
+        def proj(name):
+            h = nn.Dense(self.d_model, kernel_init=init,
+                         bias_init=nn.initializers.zeros, name=name)(x)
+            return h.reshape(B, N, self.n_head, d_k).transpose(0, 2, 1, 3)
+
+        q = proj("q")
+        k = proj("k")
+        v = proj("v")
+
+        k = PerHeadLayerNorm(self.n_head, d_k, self.norm_eps, name="norm_K")(k)
+        v = PerHeadLayerNorm(self.n_head, d_k, self.norm_eps, name="norm_V")(v)
+
+        scores = jnp.einsum("bhnd,bhne->bhde", k, v) / N
+        scores = nn.Dropout(self.score_dropout, deterministic=not train)(scores)
+        out = jnp.einsum("bhnd,bhde->bhne", q, scores)
+        return out.transpose(0, 2, 1, 3).reshape(B, N, self.d_model)
+
+
+class GKTEncoderLayer(nn.Module):
+    """SimpleTransformerEncoderLayer, galerkin type, layer_norm off
+    (model.py:22-129 with the benchmark config)."""
+
+    d_model: int
+    n_head: int
+    dim_feedforward: int
+    layer_norm: bool = False
+    norm_eps: float = 1e-7
+    dropout: float = 0.05
+    ffn_dropout: float = 0.05
+    xavier_init: float = 1e-2
+    diagonal_weight: float = 1e-2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        att = GalerkinAttention(
+            self.d_model, self.n_head, norm_eps=self.norm_eps,
+            xavier_init=self.xavier_init, diagonal_weight=self.diagonal_weight,
+            name="attn",
+        )(x, train=train)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(att)
+        if self.layer_norm:
+            x = nn.LayerNorm(epsilon=self.norm_eps, name="layer_norm1")(x)
+        h = nn.Dense(self.dim_feedforward, name="ff1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.ffn_dropout, deterministic=not train)(h)
+        h = nn.Dense(self.d_model, name="ff2")(h)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
+        if self.layer_norm:
+            x = nn.LayerNorm(epsilon=self.norm_eps, name="layer_norm2")(x)
+        return x
+
+
+class GKTSpectralConv3d(nn.Module):
+    """Truncated spectral conv with the regressor's mode convention:
+    modes1=modes_t on the T axis, modes2=modes_x, modes3=modes_y on H, W
+    (layers.py:1205-1259)."""
+
+    in_dim: int
+    out_dim: int
+    modes_t: int
+    modes_x: int
+    modes_y: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = 1.0 / (self.in_dim * self.out_dim)
+        shape = (4, self.in_dim, self.out_dim,
+                 self.modes_t, self.modes_x, self.modes_y)
+        w_real = self.param(
+            "w_real",
+            lambda k: scale * jnp.asarray(
+                nn.initializers.uniform(scale=1.0)(k, shape, jnp.float32)),
+        )
+        w_imag = self.param(
+            "w_imag",
+            lambda k: scale * jnp.asarray(
+                nn.initializers.uniform(scale=1.0)(k, shape, jnp.float32)),
+        )
+        return truncated_spectral_conv3d(x, w_real, w_imag)
+
+
+class SpectralRegressor(nn.Module):
+    """FNO-style decoder head (model.py:521-638)."""
+
+    in_dim: int
+    freq_dim: int
+    out_dim: int
+    modes_x: int
+    modes_y: int
+    modes_t: int
+    num_layers: int = 1
+    spacial_fc: bool = True
+    padding: int = 6
+    dim_feedforward: int = 128
+
+    @nn.compact
+    def __call__(self, x, grid, train: bool = False):
+        # x: [B, T, H, W, C]; grid: [B, T, H, W, 3]
+        if self.spacial_fc:
+            x = jnp.concatenate([x, grid], axis=-1)
+            x = nn.Dense(self.freq_dim, name="fc")(x)
+        p = self.padding
+        x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, p), (0, 0)))
+        for i in range(self.num_layers):
+            x1 = GKTSpectralConv3d(
+                x.shape[-1], self.freq_dim, self.modes_t, self.modes_x,
+                self.modes_y, name=f"spectral_{i}",
+            )(x)
+            x2 = nn.Dense(self.freq_dim, name=f"pointwise_{i}")(x)
+            x = x1 + x2
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.gelu(x, approximate=False)
+        x = x[:, :-p, :-p, :-p, :]
+        x = nn.Dense(self.dim_feedforward, name="regressor1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, name="regressor2")(x)
+
+
+class GalerkinTransformer3d(nn.Module):
+    shape_in: Sequence[int]
+    shape_out: Sequence[int]
+    n_hidden: int = 256
+    num_encoder_layers: int = 1
+    n_head: int = 4
+    dim_feedforward: int = 256
+    attention_type: str = "galerkin"
+    layer_norm: bool = False
+    attn_norm: bool = True
+    norm_eps: float = 1e-7
+    modes1: int = 16  # fourier_modes_x
+    modes2: int = 20  # fourier_modes_y
+    modes3: int = 4   # fourier_modes_t
+    spectral_layers: int = 1
+    freq_dim: int = 128
+    dropout: float = 0.05
+    xavier_init: float = 1e-2
+    diagonal_weight: float = 1e-2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, T, H, W, C = x.shape
+        t_in, t_out = self.shape_in[0], self.shape_out[0]
+        c_out = self.shape_out[-1]
+        mult = t_out // t_in
+
+        h = nn.Dense(self.n_hidden, name="downscaler")(x)
+        h = h.reshape(B, -1, self.n_hidden)
+        for i in range(self.num_encoder_layers):
+            h = GKTEncoderLayer(
+                self.n_hidden, self.n_head, self.dim_feedforward,
+                layer_norm=self.layer_norm, norm_eps=self.norm_eps,
+                dropout=self.dropout, ffn_dropout=self.dropout,
+                xavier_init=self.xavier_init,
+                diagonal_weight=self.diagonal_weight,
+                name=f"encoder_{i}",
+            )(h, train=train)
+        h = h.reshape(B, T, H, W, self.n_hidden)
+
+        gt, gy, gx = grid_features((T, H, W))
+        grid = jnp.broadcast_to(
+            jnp.concatenate([gt, gy, gx], axis=-1)[None], (B, T, H, W, 3)
+        )
+        out = SpectralRegressor(
+            self.n_hidden, self.freq_dim, c_out * mult,
+            modes_x=self.modes1, modes_y=self.modes2, modes_t=self.modes3,
+            num_layers=self.spectral_layers, name="regressor",
+        )(h, grid, train=train)
+
+        out = out.reshape(B, T, H, W, c_out, mult)
+        out = jnp.transpose(out, (0, 1, 5, 2, 3, 4))
+        return out.reshape(B, t_out, H, W, c_out)

@@ -114,18 +114,21 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             n_head=kwargs.get("n_head", 4),
             dim_feedforward=kwargs.get("dim_feedforward", 192),
             attention_type=kwargs.get("attention_type", "galerkin"),
-            layer_norm=bool(kwargs.get("layer_norm", True)),
+            layer_norm=bool(kwargs.get("layer_norm", False)),
             attn_norm=bool(kwargs.get("attn_norm", True)),
-            modes1=kwargs.get("modes1", 4),
-            modes2=kwargs.get("modes2", 12),
-            modes3=kwargs.get("modes3", 12),
-            spectral_layers=kwargs.get("spectral_layers", 2),
-            freq_dim=kwargs.get("freq_dim", 32),
-            dropout=kwargs.get("encoder_dropout", 0.0),
+            norm_eps=float(kwargs.get("norm_eps", 1e-5)),
+            modes1=kwargs.get("fourier_modes_x", 16),
+            modes2=kwargs.get("fourier_modes_y", 20),
+            modes3=kwargs.get("fourier_modes_t", 4),
+            spectral_layers=kwargs.get("num_regressor_layers", 1),
+            freq_dim=kwargs.get("freq_dim", 128),
+            dropout=float(kwargs.get("encoder_dropout", 0.05) or 0.0),
+            xavier_init=float(kwargs.get("xavier_init", 1e-2)),
+            diagonal_weight=float(kwargs.get("diagonal_weight", 1e-2)),
         )
         return ModelBundle(
-            name="galerkin_transformer", module=module, mutable=(),
-            needs_train_flag=True, stochastic=True,
+            name="galerkin_transformer", module=module,
+            mutable=("batch_stats",), needs_train_flag=True, stochastic=True,
         )
 
     if model_name == "mwt":
