@@ -161,12 +161,27 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             out_dim_mult = 1
         else:
             raise ValueError(f"T_out {t_out} incompatible with T_in {t_in}")
+        def _int(key, default):
+            # reference YAMLs carry trailing commas ("N_res: 1," parses as a
+            # string); the torch factory ignores those keys entirely — we
+            # accept them when they are clean ints, else fall back to the
+            # model defaults, matching effective reference behavior
+            v = kwargs.get(key, default)
+            try:
+                return int(v)
+            except (TypeError, ValueError):
+                return default
+
         module = CNO3d(
             in_dim=shape_in[-1],
             out_dim=shape_out[-1],
             out_dim_mult=out_dim_mult,
             in_size=shape_in[2],
             N_layers=kwargs["N_layers"],
+            N_res=_int("N_res", 1),
+            N_res_neck=_int("N_res_neck", 6),
+            channel_multiplier=_int("channel_multiplier", 32),
+            latent_lift_proj_dim=_int("latent_lift_proj_dim", 64),
             activation=kwargs.get("activation", "LeakyReLU"),
             shape_in=shape_in,
             shape_out=shape_out,
