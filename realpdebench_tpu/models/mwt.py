@@ -1,0 +1,227 @@
+"""MWT3d — Multiwavelet Transform operator.
+
+Functional parity with the reference (`realpdebench/model/MWT_libs/models.py:
+498-785`): input lifted to c·k² features, then nCZ multiwavelet CZ cells with
+ReLU between. Each cell recursively decomposes the (H, W) plane with 2×2
+kron-filter matmuls (ec_s/ec_d), applies a Fourier kernel A on the detail
+coefficients plus conv kernels B/C, transforms the coarsest scale (T0), and
+reconstructs by even/odd interleaving (rc_* matrices). Rectangular grids work
+through the reference's broadcasting trick: the coarsest-level view collapses
+the leftover W axis into channels (shape_multiplier = W/H,
+models.py:663-672), and reconstruction broadcasts back.
+
+TPU notes: the wavelet (de)composition matrices are tiny dense constants —
+every step is a batched GEMM on the MXU; the per-level spectral kernel reuses
+the shared FFT pattern with level-clamped mode truncation; all level shapes
+are static under jit (the recursion depth is floor(log2(H))−L, a Python
+constant).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realpdebench_tpu.ops.multiwavelet import cz_matrices
+
+
+def _xavier_normal_complex(key, shape):
+    """torch nn.init.xavier_normal_ on a cfloat tensor treats the full complex
+    tensor's fan-in/out; real/imag each get N(0, std²) with
+    std = sqrt(2/(fan_in+fan_out)) / sqrt(2) (torch divides variance between
+    the two components)."""
+    fan_in, fan_out = shape[1], shape[0]
+    std = math.sqrt(2.0 / (fan_in + fan_out))
+    # torch xavier_normal_ on complex: samples complex with |std| overall;
+    # real/imag each std/sqrt(2)
+    k1, k2 = jax.random.split(key)
+    comp_std = std / math.sqrt(2.0)
+    return (
+        comp_std * jax.random.normal(k1, shape),
+        comp_std * jax.random.normal(k2, shape),
+    )
+
+
+class SparseKernelFT3d(nn.Module):
+    """Fourier kernel on wavelet coefficients (models.py:535-585).
+
+    Input [B, Nx, Ny, T, c, k²]; rfft over (Nx, Ny, T) with rfft axis = T;
+    mode truncation clamped to the current level size (l1/l2)."""
+
+    k: int
+    alpha: int
+    c: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        B, Nx, Ny, T, c, ich = x.shape
+        ck2 = c * ich
+        modes = self.alpha
+        shape = (ck2, ck2, modes, modes, modes)
+
+        wr = self.param("w_real", lambda k_: jnp.stack(
+            [_xavier_normal_complex(kk, shape)[0]
+             for kk in jax.random.split(k_, 4)]))
+        wi = self.param("w_imag", lambda k_: jnp.stack(
+            [_xavier_normal_complex(kk, shape)[1]
+             for kk in jax.random.split(k_, 4)]))
+
+        xf = x.reshape(B, Nx, Ny, T, ck2).astype(jnp.float32)
+        x_ft = jnp.fft.rfftn(xf, axes=(1, 2, 3))  # [B, Nx, Ny, T//2+1, ck2]
+
+        l1 = min(modes, Nx // 2 + 1)
+        l2 = min(modes, Ny // 2 + 1)
+        l3 = min(modes, T // 2 + 1)
+
+        w = (wr + 1j * wi).astype(jnp.complex64)  # [4, ck2, ck2, m, m, m]
+        w = w[:, :, :, :l1, :l2, :l3]
+
+        corners = jnp.stack(
+            [
+                x_ft[:, :l1, :l2, :l3, :],
+                x_ft[:, -l1:, :l2, :l3, :],
+                x_ft[:, :l1, -l2:, :l3, :],
+                x_ft[:, -l1:, -l2:, :l3, :],
+            ],
+            axis=1,
+        )  # [B, 4, l1, l2, l3, ck2]
+        out_c = jnp.einsum("bkxyzi,kioxyz->bkxyzo", corners, w,
+                           preferred_element_type=jnp.complex64)
+
+        Tr = T // 2 + 1
+        out_ft = jnp.zeros((B, Nx, Ny, Tr, ck2), jnp.complex64)
+        out_ft = out_ft.at[:, :l1, :l2, :l3, :].set(out_c[:, 0])
+        out_ft = out_ft.at[:, -l1:, :l2, :l3, :].set(out_c[:, 1])
+        out_ft = out_ft.at[:, :l1, -l2:, :l3, :].set(out_c[:, 2])
+        out_ft = out_ft.at[:, -l1:, -l2:, :l3, :].set(out_c[:, 3])
+
+        out = jnp.fft.irfftn(out_ft, s=(Nx, Ny, T), axes=(1, 2, 3))
+        out = nn.relu(out)
+        out = nn.Dense(ck2, name="Lo")(out)
+        return out.reshape(B, Nx, Ny, T, c, ich)
+
+
+class SparseKernel3d(nn.Module):
+    """Conv kernel on wavelet coefficients (models.py:498-527):
+    Conv3d k3 'same' + ReLU + Linear."""
+
+    k: int
+    c: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        B, Nx, Ny, T, c, ich = x.shape
+        ck2 = c * ich
+        h = x.reshape(B, Nx, Ny, T, ck2)
+        h = nn.Conv(ck2, kernel_size=(3, 3, 3), padding="SAME", name="conv")(h)
+        h = nn.relu(h)
+        h = nn.Dense(ck2, name="Lo")(h)
+        return h.reshape(B, Nx, Ny, T, c, ich)
+
+
+class MWTCZ3d(nn.Module):
+    k: int = 3
+    alpha: int = 5
+    L: int = 0
+    c: int = 1
+    shape_multiplier: int = 1
+    base: str = "legendre"
+
+    @nn.compact
+    def __call__(self, x):
+        B, Nx, Ny, T, c, ich = x.shape
+        ns = math.floor(np.log2(Nx))
+        ec_s, ec_d, rc_ee, rc_eo, rc_oe, rc_oo = (
+            jnp.asarray(m) for m in cz_matrices(self.base, self.k)
+        )
+
+        A = SparseKernelFT3d(self.k, self.alpha, self.c, name="A")
+        Bm = SparseKernel3d(self.k, self.c, name="B")
+        Cm = SparseKernel3d(self.k, self.c, name="C")
+
+        def wavelet_transform(z):
+            za = jnp.concatenate(
+                [z[:, ::2, ::2], z[:, ::2, 1::2],
+                 z[:, 1::2, ::2], z[:, 1::2, 1::2]], axis=-1
+            )
+            return za @ ec_d, za @ ec_s  # (detail, smooth)
+
+        Ud, Us = [], []
+        for _ in range(ns - self.L):
+            d, x = wavelet_transform(x)
+            Ud.append(A(d) + Bm(x))
+            Us.append(Cm(d))
+
+        # coarsest-scale transform; rectangular leftovers fold into channels
+        coarse = x.reshape(B, 2**self.L, 2**self.L, T, -1)
+        x = nn.Dense(c * ich, name="T0")(coarse).reshape(
+            B, 2**self.L, 2**self.L, T, c, ich
+        )
+
+        for i in range(ns - 1 - self.L, -1, -1):
+            x = x + Us[i]  # broadcasts over the leftover Ny axis
+            x = jnp.concatenate(
+                [jnp.broadcast_to(x, Ud[i].shape[:-1] + (ich,)), Ud[i]],
+                axis=-1,
+            )
+            # even/odd reconstruction
+            x_ee = x @ rc_ee
+            x_eo = x @ rc_eo
+            x_oe = x @ rc_oe
+            x_oo = x @ rc_oo
+            Bz, nx, ny = x.shape[0], x.shape[1], x.shape[2]
+            out = jnp.zeros((Bz, nx * 2, ny * 2, T, c, self.k**2), x.dtype)
+            out = out.at[:, ::2, ::2].set(x_ee)
+            out = out.at[:, ::2, 1::2].set(x_eo)
+            out = out.at[:, 1::2, ::2].set(x_oe)
+            out = out.at[:, 1::2, 1::2].set(x_oo)
+            x = out
+        return x
+
+
+class MWT3d(nn.Module):
+    ich: int
+    och: int
+    shape_in: Sequence[int]
+    shape_out: Sequence[int]
+    k: int = 3
+    alpha: int = 2
+    c: int = 1
+    nCZ: int = 3
+    L: int = 0
+    base: str = "legendre"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # [B, T, H, W, C] → grid-major [B, H, W, T, C] (models.py:757-760)
+        x = jnp.transpose(x, (0, 2, 3, 1, 4))
+        B, Nx, Ny, T, _ = x.shape
+        t_in, t_out = self.shape_in[0], self.shape_out[0]
+        c_out = self.shape_out[-1]
+        mult = t_out // t_in
+        shape_multiplier = self.shape_in[2] // self.shape_in[1]
+
+        x = nn.Dense(self.c * self.k**2, name="Lk")(x)
+        x = x.reshape(B, Nx, Ny, T, self.c, self.k**2)
+        for i in range(self.nCZ):
+            x = MWTCZ3d(
+                self.k, self.alpha, self.L, self.c, shape_multiplier,
+                self.base, name=f"cz_{i}",
+            )(x)
+            if i < self.nCZ - 1:
+                x = nn.relu(x)
+
+        x = x.reshape(B, Nx, Ny, T, -1)
+        x = nn.Dense(128, name="Lc0")(x)
+        x = nn.relu(x)
+        x = nn.Dense(c_out * mult, name="Lc1")(x)
+
+        # (B, Nx, Ny, T, C_out·mult) → (B, T_out, H, W, C_out)
+        x = x.reshape(B, Nx, Ny, T, c_out, mult)
+        x = jnp.transpose(x, (0, 3, 5, 1, 2, 4))
+        return x.reshape(B, t_out, Nx, Ny, c_out)
