@@ -65,13 +65,18 @@ def run_eval(cfg, exp_path: str):
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     rng, init_rng = jax.random.split(rng)
     variables = bundle.init(init_rng, x0[None])
-    params, model_state = bundle.split_variables(variables)
     logging.info(f"Number of parameters: {bundle.param_count(variables)}")
 
-    state = TrainState.create(params, model_state, build_optimizer(cfg))
-    state = load_reference_or_orbax_checkpoint(cfg.checkpoint_path, state, bundle)
-    variables = {"params": state.params, **state.model_state}
-    logging.info(f"Checkpoint {cfg.checkpoint_path} loaded.")
+    if bundle.trainable:
+        params, model_state = bundle.split_variables(variables)
+        state = TrainState.create(params, model_state, build_optimizer(cfg))
+        state = load_reference_or_orbax_checkpoint(
+            cfg.checkpoint_path, state, bundle
+        )
+        variables = {"params": state.params, **state.model_state}
+        logging.info(f"Checkpoint {cfg.checkpoint_path} loaded.")
+    else:
+        logging.info("Training-free model; no checkpoint loaded.")
 
     x_probe, y_probe = test_ds[0]
     unmeasured_c = infer_unmeasured_channels(y_probe[None])
@@ -79,7 +84,12 @@ def run_eval(cfg, exp_path: str):
     para_c = max(0, x_probe.shape[-1] - y_probe.shape[-1])
 
     n_steps = int(cfg.N_autoregressive)
-    rollout = make_rollout_fn(bundle, normalizer, n_steps, para_c)
+    if bundle.trainable:
+        rollout = make_rollout_fn(bundle, normalizer, n_steps, para_c)
+    else:
+        from realpdebench_tpu.eval.rollout import make_host_rollout_fn
+
+        rollout = make_host_rollout_fn(bundle, normalizer, n_steps, para_c)
 
     pred_list, target_list, probe_errors = [], [], []
     nmse_sum, n_batches = 0.0, 0

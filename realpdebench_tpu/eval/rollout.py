@@ -61,6 +61,34 @@ def make_rollout_fn(bundle, normalizer, n_steps: int, para_c: int = 0):
     return jax.jit(rollout)
 
 
+def make_host_rollout_fn(bundle, normalizer, n_steps: int, para_c: int = 0):
+    """Un-jitted rollout with identical semantics, for host-side models
+    (DMD — numpy SVD/eig have no TPU path)."""
+
+    def rollout(variables, x_raw, y_raw, rng):
+        x_raw = jnp.asarray(x_raw, jnp.float32)
+        y_raw = jnp.asarray(y_raw, jnp.float32)
+        para_input = x_raw[..., x_raw.shape[-1] - para_c :] if para_c else None
+        xn, yn = normalizer.preprocess(x_raw, y_raw)
+        window = xn
+        preds = []
+        for _ in range(n_steps):
+            p = bundle.predict(variables, window, rng=rng)
+            # host models may emit fewer channels (DMD: input_feature only);
+            # postprocess/preprocess slice stats accordingly
+            _, p_phys = normalizer.postprocess(window[..., : p.shape[-1]], p)
+            if para_c:
+                p_phys = jnp.concatenate([p_phys, para_input], axis=-1)
+            window, _ = normalizer.preprocess(p_phys, yn)
+            preds.append(window)
+        pred = jnp.concatenate(preds, axis=1)
+        if para_c:
+            pred = pred[..., :-para_c]
+        return pred, xn, yn
+
+    return rollout
+
+
 def finalize_rollout(normalizer, pred_norm, xn, yn, c: int):
     """normalized MSE on first c channels + physical pred/target
     (reference eval.py:323-326)."""

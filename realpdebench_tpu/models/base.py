@@ -43,6 +43,8 @@ class ModelBundle:
     trainable: bool = True
 
     def init(self, rng, sample_x):
+        if not self.trainable:
+            return {"params": {}}
         kwargs = {"train": False} if self.needs_train_flag else {}
         return self.module.init(rng, jnp.asarray(sample_x), **kwargs)
 
@@ -54,6 +56,8 @@ class ModelBundle:
     def predict(self, variables, x, rng=None):
         if self.predict_fn is not None:
             return self.predict_fn(self.module, variables, x, rng)
+        if not self.trainable:  # host-side model (DMD): plain call, no jit
+            return jnp.asarray(self.module(x))
         kwargs = {"train": False} if self.needs_train_flag else {}
         return self.module.apply(variables, x, **kwargs)
 
