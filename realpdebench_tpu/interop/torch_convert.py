@@ -231,3 +231,45 @@ def convert_unet(sd, params_template, model_state_template):
     p["final_block"] = _unet_resnet_block(sd, "final_conv.0", has_time=False)
     p["final_conv"] = _conv(sd, "final_conv.1")
     return p, {}
+
+
+@register_converter("dpot")
+def convert_dpot(sd, params_template, model_state_template):
+    """DPOT mapping (reference dpot_libs/models/dpot.py:245-403 ↔
+    models/dpot.py). Accepts both wrapper checkpoints ('dpot_model.' prefix,
+    dpot.py:336-346) and bare pretrained backbones (hzk17/DPOT)."""
+    sd = {
+        (k[len("dpot_model."):] if k.startswith("dpot_model.") else
+         k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+    net = {}
+    net["pos_embed"] = sd["pos_embed"].transpose(0, 2, 3, 1)  # (1,C,h,w)→(1,h,w,C)
+    net["patch_proj1"] = _conv(sd, "patch_embed.proj.0")
+    net["patch_proj2"] = _conv(sd, "patch_embed.proj.2")
+    net["time_agg_w"] = sd["time_agg_layer.w"]
+    if "time_agg_layer.gamma" in sd:
+        net["time_agg_gamma"] = sd["time_agg_layer.gamma"]
+    if "scale_feats_mu.weight" in sd:
+        net["scale_feats_mu"] = _dense(sd, "scale_feats_mu")
+        net["scale_feats_sigma"] = _dense(sd, "scale_feats_sigma")
+    depth = len({k.split(".")[1] for k in sd if k.startswith("blocks.")})
+    for i in range(depth):
+        pre = f"blocks.{i}"
+        net[f"block_{i}"] = {
+            "norm1": _groupnorm(sd, f"{pre}.norm1"),
+            "norm2": _groupnorm(sd, f"{pre}.norm2"),
+            "filter": {
+                "w1": sd[f"{pre}.filter.w1"], "b1": sd[f"{pre}.filter.b1"],
+                "w2": sd[f"{pre}.filter.w2"], "b2": sd[f"{pre}.filter.b2"],
+            },
+            "mlp1": _conv(sd, f"{pre}.mlp.0"),
+            "mlp2": _conv(sd, f"{pre}.mlp.2"),
+        }
+    for dst, src in (("cls1", "cls_head.0"), ("cls2", "cls_head.2"),
+                     ("cls3", "cls_head.4")):
+        net[dst] = _dense(sd, src)
+    net["out_deconv"] = _conv_transpose(sd, "out_layer.0")
+    net["out_conv1"] = _conv(sd, "out_layer.2")
+    net["out_conv2"] = _conv(sd, "out_layer.4")
+    return {"dpot_model": net}, {}

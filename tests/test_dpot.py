@@ -1,0 +1,90 @@
+"""DPOT tests: fft resize parity, forward shapes (incl. resize + channel-pad
+path and sliding window), torch backbone parity via weight transplant."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from realpdebench_tpu.models.dpot import fft_resize_2d
+from realpdebench_tpu.models.registry import build_model
+
+SHAPE_IN = (4, 16, 16, 3)
+SHAPE_OUT = (4, 16, 16, 3)
+KW = dict(
+    model_name="dpot", img_size=16, in_channels=4, out_channels=4,
+    in_timesteps=4, out_timesteps=4, patch_size=4, embed_dim=16, depth=2,
+    n_blocks=4, modes=4, mlp_ratio=1, out_layer_dim=8, normalize=False,
+    act="gelu", time_agg="exp_mlp", n_cls=2,
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference repo not mounted"
+)
+def test_fft_resize_matches_reference(rng):
+    sys.path.insert(0, "/root/reference")
+    torch = pytest.importorskip("torch")
+    from realpdebench.model.dpot_libs.utils.utilities import resize
+
+    x = rng.normal(size=(2, 12, 20, 4, 3)).astype(np.float32)  # B,X,Y,T,C
+    with torch.no_grad():
+        want = resize(torch.from_numpy(x), out_size=[16, 16],
+                      temporal=True).numpy()
+    flat = x.reshape(2, 12, 20, 12)
+    got = np.asarray(fft_resize_2d(flat, (16, 16))).reshape(2, 16, 16, 4, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_forward_shape(rng):
+    bundle = build_model(shapes=(SHAPE_IN, SHAPE_OUT), **KW)
+    x = rng.normal(size=(2, *SHAPE_IN)).astype(np.float32)
+    variables = bundle.init(jax.random.PRNGKey(0), x)
+    out = bundle.predict(variables, x)
+    assert out.shape == (2, *SHAPE_OUT)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_forward_with_resize_and_sliding(rng):
+    # data grid 12x20 != model 16; data T_out=8 > model out_timesteps=4
+    bundle = build_model(
+        shapes=((4, 12, 20, 3), (8, 12, 20, 3)),
+        **{**KW, "out_timesteps": 4},
+    )
+    x = rng.normal(size=(2, 4, 12, 20, 3)).astype(np.float32)
+    variables = bundle.init(jax.random.PRNGKey(0), x)
+    out = bundle.predict(variables, x)
+    assert out.shape == (2, 8, 12, 20, 3)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference repo not mounted"
+)
+def test_parity_with_reference_torch(rng):
+    sys.path.insert(0, "/root/reference")
+    torch = pytest.importorskip("torch")
+    from realpdebench.model.dpot import DPOT as TorchDPOT
+
+    torch.manual_seed(0)
+    tm = TorchDPOT(shape_in=SHAPE_IN, shape_out=SHAPE_OUT, model_type="dpot",
+                   checkpoint_path=None, **{k: v for k, v in KW.items()
+                                            if k != "model_name"}).eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    bundle = build_model(shapes=(SHAPE_IN, SHAPE_OUT), **KW)
+    x = rng.normal(size=(2, *SHAPE_IN)).astype(np.float32)
+    variables = bundle.init(jax.random.PRNGKey(0), x)
+
+    from realpdebench_tpu.interop.torch_convert import convert_dpot
+
+    params, _ = convert_dpot(sd, variables["params"], {})
+    want_tree = jax.tree_util.tree_structure(variables["params"])
+    got_tree = jax.tree_util.tree_structure(params)
+    assert want_tree == got_tree, f"\n{want_tree}\nvs\n{got_tree}"
+
+    got = np.asarray(bundle.predict({"params": params}, x))
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
