@@ -221,6 +221,8 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
     if model_name == "wdno":
         from realpdebench_tpu.models.wdno import build_wdno_bundle
 
+        kwargs = dict(kwargs)
+        kwargs["_train_dataset"] = train_dataset  # for the wavelet rescaler
         return build_wdno_bundle(shape_in, shape_out, kwargs)
 
     if model_name == "dmd":
