@@ -51,7 +51,7 @@ def parse_mesh_shape(spec: Optional[str], n_devices: Optional[int] = None):
         known = int(np.prod([v for v in axes.values() if v != -1]))
         axes[unknown[0]] = n_devices // known
     total = int(np.prod(list(axes.values())))
-    if total != n_devices:
+    if total > n_devices:
         raise ValueError(
             f"Mesh spec {spec!r} uses {total} devices but {n_devices} available"
         )
@@ -106,7 +106,9 @@ def make_mesh_context(
     axes = parse_mesh_shape(mesh_shape, n_devices=len(devices))
     names = tuple(axes.keys())
     shape = tuple(axes.values())
-    dev_array = np.asarray(devices).reshape(shape)
+    total = int(np.prod(shape))
+    # a mesh smaller than the device count uses the leading devices
+    dev_array = np.asarray(devices[:total]).reshape(shape)
     return MeshContext(mesh=Mesh(dev_array, names))
 
 

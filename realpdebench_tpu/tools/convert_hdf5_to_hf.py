@@ -135,9 +135,10 @@ def convert_dataset_v2(dataset_root, scenario, dataset_types=("real",
     return hf_dir
 
 
-def convert_surrogate_train(dataset_root):
-    """Combustion surrogate-train pairs → Arrow
-    (reference combustion_surrogate_hf_dataset.py consumption format)."""
+def convert_surrogate_train(dataset_root, step=20, n_sim_frame=40):
+    """Combustion surrogate-train pairs → Arrow, per-(sim, time)-window rows,
+    sim_ids OUTER loop × time_ids inner (the ordering the reference HF wrapper
+    asserts — combustion_surrogate_hf_dataset.py:193-199)."""
     import h5py
     from datasets import Dataset
 
@@ -149,27 +150,36 @@ def convert_surrogate_train(dataset_root):
 
     rows = []
     sim_ids = []
-    for fn in sorted(os.listdir(real_dir)):
+    for fn in sorted(os.listdir(num_dir)):
         if not fn.endswith(".h5"):
             continue
-        with h5py.File(os.path.join(real_dir, fn), "r") as f:
-            real = np.asarray(f["trajectory"], np.float32)
-        with h5py.File(os.path.join(num_dir, fn), "r") as f:
-            num = np.asarray(f["measured_data"], np.float32)
-        rows.append(dict(
-            sim_id=fn, shape_t=real.shape[0], shape_h=real.shape[1],
-            shape_w=real.shape[2], real=real.tobytes(),
-            numerical=num.tobytes(), numerical_channels=num.shape[-1],
-        ))
         sim_ids.append(fn)
+        with h5py.File(os.path.join(real_dir, fn), "r") as f:
+            real_full = np.asarray(f["trajectory"], np.float32)
+        with h5py.File(os.path.join(num_dir, fn), "r") as f:
+            num_full = np.asarray(f["measured_data"], np.float32)
+        for time_id in range(n_sim_frame - step):
+            real = real_full[time_id : time_id + step]
+            num = num_full[time_id : time_id + step]
+            rows.append(dict(
+                sim_id=fn, time_id=time_id,
+                real_shape_t=real.shape[0], real_shape_h=real.shape[1],
+                real_shape_w=real.shape[2],
+                numerical_shape_t=num.shape[0], numerical_shape_h=num.shape[1],
+                numerical_shape_w=num.shape[2],
+                numerical_channels=num.shape[-1],
+                real=real.tobytes(), numerical=num.tobytes(),
+            ))
     Dataset.from_list(rows).save_to_disk(
         os.path.join(hf_dir, "surrogate_train")
     )
     with open(os.path.join(hf_dir, "surrogate_train_sim_ids.txt"), "w") as f:
         f.write("\n".join(sim_ids))
     with open(os.path.join(hf_dir, "surrogate_train_meta.json"), "w") as f:
-        json.dump({"n_sim": len(sim_ids)}, f)
-    print(f"combustion/surrogate_train: {len(rows)} trajectories")
+        json.dump({"n_sim": len(sim_ids), "step": step,
+                   "n_sim_frame": n_sim_frame}, f)
+    print(f"combustion/surrogate_train: {len(rows)} windows, "
+          f"{len(sim_ids)} sims")
 
 
 def main():
