@@ -16,8 +16,10 @@ def test_parse_mesh_shape():
     assert parse_mesh_shape(None, 8) == {"dp": 8, "mp": 1}
     assert parse_mesh_shape("dp=4,mp=2", 8) == {"dp": 4, "mp": 2}
     assert parse_mesh_shape("dp=-1,mp=2", 8) == {"dp": 4, "mp": 2}
+    # sub-meshes are allowed (leading devices used); oversubscription is not
+    assert parse_mesh_shape("dp=3", 8) == {"dp": 3, "mp": 1}
     with pytest.raises(ValueError):
-        parse_mesh_shape("dp=3", 8)
+        parse_mesh_shape("dp=16", 8)
 
 
 def test_mesh_context_dp8():
