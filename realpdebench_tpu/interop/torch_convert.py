@@ -273,3 +273,240 @@ def convert_dpot(sd, params_template, model_state_template):
     net["out_conv1"] = _conv(sd, "out_layer.2")
     net["out_conv2"] = _conv(sd, "out_layer.4")
     return {"dpot_model": net}, {}
+
+
+@register_converter("deeponet")
+def convert_deeponet(sd, params_template, model_state_template):
+    """DeepONet mapping (reference model/deeponet.py:9-151)."""
+    branch = {}
+    bs = {}
+    for i, stage in enumerate(("conv1", "conv2", "conv3", "conv4")):
+        branch[f"Conv_{i}"] = _conv(sd, f"branch.{stage}.0")
+        branch[f"BatchNorm_{i}"] = _groupnorm(sd, f"branch.{stage}.1")
+        bs[f"BatchNorm_{i}"] = {
+            "mean": sd[f"branch.{stage}.1.running_mean"],
+            "var": sd[f"branch.{stage}.1.running_var"],
+        }
+    branch["Dense_0"] = _dense(sd, "branch.fc.0")
+    branch["Dense_1"] = _dense(sd, "branch.fc.3")
+    trunk = {
+        f"Dense_{i}": _dense(sd, src)
+        for i, src in enumerate(("trunk.fc.0", "trunk.fc.2", "trunk.fc.4"))
+    }
+    params = {
+        "branch": branch,
+        "trunk": trunk,
+        "out_fc1": _dense(sd, "output_net.0"),
+        "out_fc2": _dense(sd, "output_net.3"),
+        "out_fc3": _dense(sd, "output_net.6"),
+    }
+    return params, {"batch_stats": {"branch": bs}}
+
+
+@register_converter("transolver")
+def convert_transolver(sd, params_template, model_state_template):
+    """Transolver mapping (reference TRANSOLVER_libs ↔ models/transolver.py)."""
+    params = {
+        "placeholder": sd["placeholder"],
+        "preprocess": {
+            "Dense_0": _dense(sd, "preprocess.linear_pre.0"),
+            "Dense_1": _dense(sd, "preprocess.linear_post"),
+        },
+    }
+    n_blocks = len({k.split(".")[1] for k in sd if k.startswith("blocks.")})
+    for i in range(n_blocks):
+        pre = f"blocks.{i}"
+        blk = {}
+        for ln in ("ln_1", "ln_2", "ln_3"):
+            if f"{pre}.{ln}.weight" in sd:
+                blk[ln] = {"scale": sd[f"{pre}.{ln}.weight"],
+                           "bias": sd[f"{pre}.{ln}.bias"]}
+        attn = {"temperature": sd[f"{pre}.Attn.temperature"]}
+        for conv in ("in_project_fx", "in_project_x"):
+            attn[conv] = _conv(sd, f"{pre}.Attn.{conv}")
+        attn["in_project_slice"] = _dense(sd, f"{pre}.Attn.in_project_slice")
+        for qkv in ("to_q", "to_k", "to_v"):
+            attn[qkv] = _dense_nobias(sd, f"{pre}.Attn.{qkv}")
+        attn["to_out"] = _dense(sd, f"{pre}.Attn.to_out.0")
+        blk["attn"] = attn
+        blk["mlp"] = {
+            "Dense_0": _dense(sd, f"{pre}.mlp.linear_pre.0"),
+            "Dense_1": _dense(sd, f"{pre}.mlp.linear_post"),
+        }
+        if f"{pre}.mlp2.weight" in sd:
+            blk["mlp2"] = _dense(sd, f"{pre}.mlp2")
+        params[f"block_{i}"] = blk
+    return params, {}
+
+
+def _spectral_corners(sd, prefix):
+    w = np.stack([sd[f"{prefix}{k}"] for k in (1, 2, 3, 4)])
+    return {"w_real": w.real.astype(np.float32),
+            "w_imag": w.imag.astype(np.float32)}
+
+
+@register_converter("galerkin_transformer")
+def convert_galerkin(sd, params_template, model_state_template):
+    """GK-Transformer mapping (reference galerkin_transformer_libs ↔
+    models/galerkin_transformer.py, benchmark configuration)."""
+    params = {
+        "downscaler": {"kernel": sd["downscaler.id.weight"].T,
+                       "bias": sd["downscaler.id.bias"]},
+    }
+    n_enc = len({k.split(".")[1] for k in sd if k.startswith("encoder_layers.")})
+    n_head = None
+    for k in sd:
+        if k.endswith("attn.norm_K.0.weight"):
+            n_head = len({kk.split(".")[3] for kk in sd
+                          if "attn.norm_K." in kk and kk.endswith(".weight")})
+            break
+    for i in range(n_enc):
+        pre = f"encoder_layers.{i}"
+        enc = {"attn": {}}
+        for dst, src in (("q", 0), ("k", 1), ("v", 2)):
+            enc["attn"][dst] = _dense(sd, f"{pre}.attn.linears.{src}")
+        for which in ("K", "V"):
+            enc["attn"][f"norm_{which}"] = {
+                "scale": np.stack([sd[f"{pre}.attn.norm_{which}.{h}.weight"]
+                                   for h in range(n_head)]),
+                "bias": np.stack([sd[f"{pre}.attn.norm_{which}.{h}.bias"]
+                                  for h in range(n_head)]),
+            }
+        enc["ff1"] = _dense(sd, f"{pre}.ff.lr1")
+        enc["ff2"] = _dense(sd, f"{pre}.ff.lr2")
+        for ln in ("layer_norm1", "layer_norm2"):
+            if f"{pre}.{ln}.weight" in sd:
+                enc[ln] = {"scale": sd[f"{pre}.{ln}.weight"],
+                           "bias": sd[f"{pre}.{ln}.bias"]}
+        params[f"encoder_{i}"] = enc
+
+    reg = {"fc": _dense(sd, "regressor.fc")}
+    bs_reg = {}
+    n_spec = len({k.split(".")[2] for k in sd
+                  if k.startswith("regressor.spectral_conv.")})
+    for i in range(n_spec):
+        reg[f"spectral_{i}"] = _spectral_corners(
+            sd, f"regressor.spectral_conv.{i}.weights"
+        )
+        cw = sd[f"regressor.convs.{i}.weight"][:, :, 0, 0, 0]
+        reg[f"pointwise_{i}"] = {"kernel": cw.T,
+                                 "bias": sd[f"regressor.convs.{i}.bias"]}
+        reg[f"bn_{i}"] = _groupnorm(sd, f"regressor.bns.{i}")
+        bs_reg[f"bn_{i}"] = {
+            "mean": sd[f"regressor.bns.{i}.running_mean"],
+            "var": sd[f"regressor.bns.{i}.running_var"],
+        }
+    reg["regressor1"] = _dense(sd, "regressor.regressor1")
+    reg["regressor2"] = _dense(sd, "regressor.regressor2")
+    params["regressor"] = reg
+    return params, {"batch_stats": {"regressor": bs_reg}}
+
+
+@register_converter("mwt")
+def convert_mwt(sd, params_template, model_state_template):
+    """MWT mapping (reference MWT_libs/models.py:715-785 ↔ models/mwt.py).
+    Note: the reference's BN list and CZ filter buffers are unused/recomputed
+    and therefore skipped."""
+    params = {
+        "Lk": _dense(sd, "Lk"),
+        "Lc0": _dense(sd, "Lc0"),
+        "Lc1": _dense(sd, "Lc1"),
+    }
+    n_cz = len({k.split(".")[1] for k in sd if k.startswith("MWT_CZ.")})
+    for i in range(n_cz):
+        pre = f"MWT_CZ.{i}"
+        cz = {"A": _spectral_corners(sd, f"{pre}.A.weights")}
+        cz["A"]["Lo"] = _dense(sd, f"{pre}.A.Lo")
+        for mod in ("B", "C"):
+            cz[mod] = {
+                "conv": _conv(sd, f"{pre}.{mod}.conv.0"),
+                "Lo": _dense(sd, f"{pre}.{mod}.Lo"),
+            }
+        cz["T0"] = _dense(sd, f"{pre}.T0")
+        params[f"cz_{i}"] = cz
+    return params, {}
+
+
+def _cno_block(sd, tkey, has_bn=True):
+    out = {"convolution": _conv(sd, f"{tkey}.convolution")}
+    bs = {}
+    if has_bn and f"{tkey}.batch_norm.weight" in sd:
+        out["bn"] = _groupnorm(sd, f"{tkey}.batch_norm")
+        bs["bn"] = {"mean": sd[f"{tkey}.batch_norm.running_mean"],
+                    "var": sd[f"{tkey}.batch_norm.running_var"]}
+    return out, bs
+
+
+@register_converter("cno")
+def convert_cno(sd, params_template, model_state_template):
+    """CNO mapping (reference model/cno.py:235-528 ↔ models/cno.py)."""
+    params = {}
+    batch_stats = {}
+
+    for dst, tkey in (("lift", "lift"), ("project", "project")):
+        params[dst] = {
+            "inter": {"convolution": _conv(sd, f"{tkey}.inter_CNOBlock.convolution")},
+            "convolution": _conv(sd, f"{tkey}.convolution"),
+        }
+
+    def put(name, tkey):
+        p, b = _cno_block(sd, tkey)
+        params[name] = p
+        if b:
+            batch_stats[name] = b
+
+    n_layers = len({k.split(".")[1] for k in sd if k.startswith("encoder.")})
+    for i in range(n_layers):
+        put(f"encoder_{i}", f"encoder.{i}")
+        put(f"decoder_{i}", f"decoder.{i}")
+        put(f"decoder_inv_{i}", f"decoder_inv.{i}")
+    n_ed = len({k.split(".")[1] for k in sd if k.startswith("ED_expansion.")})
+    for i in range(n_ed):
+        put(f"ed_expansion_{i}", f"ED_expansion.{i}")
+
+    # residual blocks: construction order is level blocks then neck blocks
+    n_res_total = len({k.split(".")[1] for k in sd if k.startswith("res_nets.")})
+    n_level = n_layers  # N_res per level is 1 in the shipped configuration
+    idx = 0
+    for l in range(n_level):
+        params[f"res_{l}_0"], bs = _cno_res(sd, f"res_nets.{idx}")
+        batch_stats[f"res_{l}_0"] = bs
+        idx += 1
+    j = 0
+    while idx < n_res_total:
+        params[f"res_neck_{j}"], bs = _cno_res(sd, f"res_nets.{idx}")
+        batch_stats[f"res_neck_{j}"] = bs
+        idx += 1
+        j += 1
+    return params, {"batch_stats": batch_stats}
+
+
+def _cno_res(sd, tkey):
+    p = {
+        "convolution1": _conv(sd, f"{tkey}.convolution1"),
+        "convolution2": _conv(sd, f"{tkey}.convolution2"),
+        "bn1": _groupnorm(sd, f"{tkey}.batch_norm1"),
+        "bn2": _groupnorm(sd, f"{tkey}.batch_norm2"),
+    }
+    b = {
+        "bn1": {"mean": sd[f"{tkey}.batch_norm1.running_mean"],
+                "var": sd[f"{tkey}.batch_norm1.running_var"]},
+        "bn2": {"mean": sd[f"{tkey}.batch_norm2.running_mean"],
+                "var": sd[f"{tkey}.batch_norm2.running_var"]},
+    }
+    return p, b
+
+
+@register_converter("wdno")
+def convert_wdno(sd, params_template, model_state_template):
+    """WDNO backbone mapping: the denoiser is the same video-diffusion Unet3d
+    (reference wdno_libs/unet.py == model/unet.py structure), so reuse the
+    unet converter after stripping the 'model.' prefix the WDNO wrapper adds
+    (wdno.py:167)."""
+    stripped = {
+        (k[len("model."):] if k.startswith("model.") else k): v
+        for k, v in sd.items()
+        if not k.startswith(("betas", "alphas", "sqrt_", "log_",
+                             "posterior_", "rescaler"))
+    }
+    return convert_unet(stripped, params_template, model_state_template)

@@ -28,10 +28,12 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from realpdebench_tpu.ops.activations import gelu as act_gelu
 import numpy as np
 
 ACT = {
-    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu": lambda x: act_gelu(x),
     "tanh": jnp.tanh,
     "relu": nn.relu,
     "silu": nn.silu,

@@ -23,6 +23,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from realpdebench_tpu.ops.activations import gelu as act_gelu
+
 from realpdebench_tpu.ops.spectral import grid_features, truncated_spectral_conv3d
 
 
@@ -87,7 +89,7 @@ class FNOLayer(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
         )(x)
         if self.apply_gelu:
-            x = nn.gelu(x, approximate=False)
+            x = act_gelu(x)
         return x
 
 
@@ -134,7 +136,7 @@ class FNO3d(nn.Module):
 
         x = x[:, :-p, :-p, :-p, :]
         x = nn.Dense(128, name="fc1", dtype=dt)(x)
-        x = nn.gelu(x, approximate=False)
+        x = act_gelu(x)
         x = nn.Dense(c_out * mult, name="fc2", dtype=dt)(x)
         x = x.astype(jnp.float32)
 

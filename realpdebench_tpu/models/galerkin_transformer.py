@@ -26,6 +26,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from realpdebench_tpu.ops.activations import gelu as act_gelu
+
 from realpdebench_tpu.ops.spectral import grid_features, truncated_spectral_conv3d
 
 
@@ -186,7 +188,7 @@ class SpectralRegressor(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn_{i}")(x)
             if i < self.num_layers - 1:
-                x = nn.gelu(x, approximate=False)
+                x = act_gelu(x)
         x = x[:, :-p, :-p, :-p, :]
         x = nn.Dense(self.dim_feedforward, name="regressor1")(x)
         x = nn.silu(x)

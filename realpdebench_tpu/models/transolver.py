@@ -23,6 +23,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from realpdebench_tpu.ops.activations import gelu as act_gelu
+
 trunc_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 
@@ -37,15 +39,9 @@ class TransolverMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.gelu(
-            nn.Dense(self.n_hidden, kernel_init=trunc_init)(x),
-            approximate=False,
-        )
+        x = act_gelu(nn.Dense(self.n_hidden, kernel_init=trunc_init)(x))
         for _ in range(self.n_layers):
-            h = nn.gelu(
-                nn.Dense(self.n_hidden, kernel_init=trunc_init)(x),
-                approximate=False,
-            )
+            h = act_gelu(nn.Dense(self.n_hidden, kernel_init=trunc_init)(x))
             x = h + x if self.res else h
         return nn.Dense(self.n_output, kernel_init=trunc_init)(x)
 

@@ -24,6 +24,8 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from realpdebench_tpu.ops.activations import gelu as act_gelu
 import numpy as np
 
 
@@ -285,7 +287,7 @@ class Unet3d(nn.Module):
         time_dim = self.dim * 4
         t = sinusoidal_pos_emb(time, self.dim)
         t = nn.Dense(time_dim, name="time_mlp_1")(t)
-        t = nn.gelu(t, approximate=False)
+        t = act_gelu(t)
         t = nn.Dense(time_dim, name="time_mlp_2")(t)
 
         dims = [self.dim, *(self.dim * m for m in self.dim_mults)]

@@ -1,4 +1,5 @@
-"""DeepONet tests: shapes, adaptive pooling semantics vs torch, parity."""
+"""DeepONet tests: shapes, adaptive pooling semantics vs torch, parity via
+the registered interop converter."""
 
 import os
 import sys
@@ -57,13 +58,11 @@ def test_train_step_runs(rng):
     cfg = Config(lr=1e-3, scheduler="cosine", num_update=5, clip_grad_norm=1.0)
     state = TrainState.create(params, ms, build_optimizer(cfg))
     step = make_train_step(bundle, IdentityNormalizer())
-    losses = []
     key = jax.random.PRNGKey(1)
     for _ in range(5):
         key, k = jax.random.split(key)
         state, loss = step(state, x, y, k)
-        losses.append(float(loss))
-    assert np.isfinite(losses).all()
+        assert np.isfinite(float(loss))
 
 
 @pytest.mark.skipif(
@@ -73,6 +72,8 @@ def test_parity_with_reference_torch(rng):
     sys.path.insert(0, "/root/reference")
     torch = pytest.importorskip("torch")
     from realpdebench.model.deeponet import DeepONet as TorchDeepONet
+
+    from realpdebench_tpu.interop.torch_convert import convert_deeponet
 
     torch.manual_seed(0)
     tm = TorchDeepONet(
@@ -84,46 +85,10 @@ def test_parity_with_reference_torch(rng):
     bundle = _bundle()
     x = rng.normal(size=(2, *SHAPE_IN)).astype(np.float32)
     variables = bundle.init(jax.random.PRNGKey(0), x)
-    params = jax.tree_util.tree_map(np.asarray, variables["params"])
-    bs = {}
-
-    def conv(dst, src):
-        # torch Conv3d (O,I,kT,kH,kW) -> flax (kT,kH,kW,I,O)
-        params["branch"][dst]["kernel"] = sd[f"branch.{src}.weight"].transpose(
-            2, 3, 4, 1, 0
-        )
-        params["branch"][dst]["bias"] = sd[f"branch.{src}.bias"]
-
-    def bn(dst, src):
-        params["branch"][dst] = {
-            "scale": sd[f"branch.{src}.weight"],
-            "bias": sd[f"branch.{src}.bias"],
-        }
-        bs[dst] = {
-            "mean": sd[f"branch.{src}.running_mean"],
-            "var": sd[f"branch.{src}.running_var"],
-        }
-
-    # branch: conv1..conv4 sequentials: [0]=conv, [1]=bn
-    for i, stage in enumerate(("conv1", "conv2", "conv3", "conv4")):
-        conv(f"Conv_{i}", f"{stage}.0")
-        bn(f"BatchNorm_{i}", f"{stage}.1")
-    params["branch"]["Dense_0"] = {
-        "kernel": sd["branch.fc.0.weight"].T, "bias": sd["branch.fc.0.bias"]
-    }
-    params["branch"]["Dense_1"] = {
-        "kernel": sd["branch.fc.3.weight"].T, "bias": sd["branch.fc.3.bias"]
-    }
-    for i, src in enumerate(("trunk.fc.0", "trunk.fc.2", "trunk.fc.4")):
-        params["trunk"][f"Dense_{i}"] = {
-            "kernel": sd[f"{src}.weight"].T, "bias": sd[f"{src}.bias"]
-        }
-    for dst, src in (("out_fc1", "output_net.0"), ("out_fc2", "output_net.3"),
-                     ("out_fc3", "output_net.6")):
-        params[dst] = {"kernel": sd[f"{src}.weight"].T, "bias": sd[f"{src}.bias"]}
-
-    variables = {"params": params, "batch_stats": {"branch": bs}}
-    got = np.asarray(bundle.predict(variables, x))
+    params, ms = convert_deeponet(sd, variables["params"], {})
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(variables["params"]))
+    got = np.asarray(bundle.predict({"params": params, **ms}, x))
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     # tolerance: deep conv stacks accumulate XLA-vs-torch reduction-order
