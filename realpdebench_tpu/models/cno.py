@@ -44,6 +44,9 @@ class CNOActivation(nn.Module):
         if self.activation == "lrelu":
             from realpdebench_tpu.ops.filtered_lrelu import filtered_lrelu_3d
 
+            bias = self.param(
+                "bias", nn.initializers.zeros, (x.shape[-1],)
+            )  # LReLu's learnable bias (filtered_networks.py:356)
             return filtered_lrelu_3d(
                 x,
                 in_size=self.in_size,
@@ -54,6 +57,7 @@ class CNOActivation(nn.Module):
                 out_half_width=self.out_half_width,
                 filter_size=self.filter_size,
                 lrelu_upsampling=self.lrelu_upsampling,
+                bias=bias,
             )
         raise ValueError(f"Activation function {self.activation} not supported")
 
