@@ -32,6 +32,7 @@ from realpdebench_tpu.eval.metrics import (
     infer_unmeasured_channels,
 )
 from realpdebench_tpu.models.registry import build_model
+from realpdebench_tpu.utils.profiling import StepTimer, maybe_trace
 from realpdebench_tpu.train.checkpoint import CheckpointManager
 from realpdebench_tpu.train.train_step import (
     TrainState,
@@ -160,11 +161,22 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
     unmeasured_c = None
     t_start = time.time()
     total_loss, count = 0.0, 0
+    timer = StepTimer(warmup=2)
+    profile_dir = cfg.get("profile_dir")
+    profile_window = (10, min(20, num_update))  # steps traced when enabled
 
     for iteration in range(1, num_update + 1):
         x, y = next(batches)
         rng, k = jax.random.split(rng)
+        with maybe_trace(
+            profile_dir, enabled=iteration == profile_window[0]
+        ) as tracing:
+            if tracing:
+                for _ in range(profile_window[0], profile_window[1]):
+                    state, loss = step_fn(state, x, y, k)
+                jax.block_until_ready(loss)
         state, loss = step_fn(state, x, y, k)
+        timer.tick()
         loss_val = float(loss)
         total_loss += loss_val
         count += 1
@@ -208,11 +220,14 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
 
     ckpt.wait()
     elapsed = time.time() - t_start
+    perf = timer.summary()
     logging.info(
         f"Training complete, best iteration {best_iter}, "
         f"time {elapsed / 60:.2f} min "
-        f"({num_update / elapsed:.2f} steps/s)"
+        f"({num_update / elapsed:.2f} steps/s incl. validation; "
+        f"perf: {perf})"
     )
+    history["perf"] = perf
     ckpt.close()
     return state, history
 
