@@ -88,3 +88,70 @@ def test_parity_with_reference_torch(rng):
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference repo not mounted"
+)
+def test_dpot3d_parity_with_reference(rng):
+    sys.path.insert(0, "/root/reference")
+    torch = pytest.importorskip("torch")
+    from realpdebench.model.dpot_libs.models.dpot3d import (
+        DPOTNet3D as TorchDPOT3D,
+    )
+
+    from realpdebench_tpu.models.dpot3d import DPOTNet3D
+
+    torch.manual_seed(0)
+    kw = dict(img_size=8, patch_size=4, in_channels=2, out_channels=2,
+              in_timesteps=3, out_timesteps=3, n_blocks=4, embed_dim=16,
+              out_layer_dim=8, depth=1, modes=4, mlp_ratio=1, n_cls=1,
+              normalize=False, act="gelu", time_agg="exp_mlp")
+    tm = TorchDPOT3D(**kw).eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    m = DPOTNet3D(**kw)
+    x = rng.normal(size=(2, 8, 8, 8, 3, 2)).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    def dense(name, src):
+        p[name] = {"kernel": sd[f"{src}.weight"].T, "bias": sd[f"{src}.bias"]}
+
+    def conv(name, src):
+        w = sd[f"{src}.weight"]
+        p[name] = {"kernel": w.transpose(2, 3, 4, 1, 0),
+                   "bias": sd[f"{src}.bias"]}
+
+    p["pos_embed"] = sd["pos_embed"].transpose(0, 2, 3, 4, 1)
+    conv("patch_proj1", "patch_embed.proj.0")
+    conv("patch_proj2", "patch_embed.proj.2")
+    p["time_agg_w"] = sd["time_agg_layer.w"]
+    p["time_agg_gamma"] = sd["time_agg_layer.gamma"]
+    blk = p["block_0"]
+    blk["norm1"] = {"scale": sd["blocks.0.norm1.weight"],
+                    "bias": sd["blocks.0.norm1.bias"]}
+    blk["norm2"] = {"scale": sd["blocks.0.norm2.weight"],
+                    "bias": sd["blocks.0.norm2.bias"]}
+    for wkey in ("w1", "b1", "w2", "b2"):
+        blk["filter"][wkey] = sd[f"blocks.0.filter.{wkey}"]
+    w = sd["blocks.0.mlp.0.weight"]
+    blk["mlp1"] = {"kernel": w.transpose(2, 3, 4, 1, 0),
+                   "bias": sd["blocks.0.mlp.0.bias"]}
+    w = sd["blocks.0.mlp.2.weight"]
+    blk["mlp2"] = {"kernel": w.transpose(2, 3, 4, 1, 0),
+                   "bias": sd["blocks.0.mlp.2.bias"]}
+    for dst, src in (("cls1", "cls_head.0"), ("cls2", "cls_head.2"),
+                     ("cls3", "cls_head.4")):
+        dense(dst, src)
+    w = sd["out_layer.0.weight"]  # ConvTranspose3d (I,O,k,k,k)
+    p["out_deconv"] = {"kernel": w.transpose(2, 3, 4, 1, 0),
+                       "bias": sd["out_layer.0.bias"]}
+    conv("out_conv1", "out_layer.2")
+    conv("out_conv2", "out_layer.4")
+
+    got, _ = m.apply({"params": p}, x)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x))  # 3-D variant returns x only
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-3,
+                               atol=1e-4)
