@@ -29,6 +29,13 @@ def mse(pred, target):
     return jnp.mean((pred - target) ** 2)
 
 
+def _host_cpu():
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
 @dataclasses.dataclass
 class ModelBundle:
     name: str
@@ -46,7 +53,12 @@ class ModelBundle:
         if not self.trainable:
             return {"params": {}}
         kwargs = {"train": False} if self.needs_train_flag else {}
-        return self.module.init(rng, jnp.asarray(sample_x), **kwargs)
+        # Initialize on host CPU: deterministic across backends, avoids
+        # burning accelerator time on a one-off trace, and sidesteps
+        # accelerator runtimes whose init-path ops are incomplete (the axon
+        # remote-compile TPU path). The caller device_puts the result.
+        with jax.default_device(_host_cpu()):
+            return self.module.init(rng, jnp.asarray(sample_x), **kwargs)
 
     def split_variables(self, variables):
         params = variables["params"]

@@ -427,10 +427,14 @@ def build_wdno_bundle(shape_in, shape_out, cfg: dict) -> ModelBundle:
     )
     bundle.pipeline = pipe  # expose for tests/inspection
 
-    # init needs the coefficient-grid shape, not the data shape
+    # init needs the coefficient-grid shape, not the data shape; run on host
+    # CPU (see ModelBundle.init)
     def init(rng_, sample_x):
+        from realpdebench_tpu.models.base import _host_cpu
+
         dummy = jnp.zeros((1, *pipe.model_shape, channels), jnp.float32)
-        return module.init(rng_, dummy, train=False)
+        with jax.default_device(_host_cpu()):
+            return module.init(rng_, dummy, train=False)
 
     bundle.init = init
     return bundle
