@@ -1,0 +1,75 @@
+"""Offline trajectory generation: parameter sweeps → benchmark-layout HDF5.
+
+Reference counterpart: `data/sim_generation/cylinder/main.py:122-199` — runs a
+sweep of solver instances and stores velocity frames. Here the whole sweep is
+a `jax.vmap` over body parameters, rolling every trajectory simultaneously
+on-device, then writing `{root}/{scenario}/numerical/{id}.h5` files with the
+`measured_data/{u,v,p}` layout the datasets consume (fluid_dataset.py:361-372).
+
+Usage:
+    python -m realpdebench_tpu.sim.generate --dataset-root ./datasets \
+        --scenario cylinder --n-sim 4 --n-frames 256 [--nx 128 --ny 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from realpdebench_tpu.sim.ns2d import SolverConfig, simulate
+
+
+def generate_cylinder_sweep(dataset_root, scenario="cylinder", n_sim=4,
+                            n_frames=256, nx=128, ny=128, substeps=4,
+                            re_min=80.0, re_max=200.0, seed=0,
+                            warmup_frames=64):
+    out_dir = os.path.join(dataset_root, scenario, "numerical")
+    os.makedirs(out_dir, exist_ok=True)
+    import h5py
+
+    reynolds = np.linspace(re_min, re_max, n_sim)
+    key = jax.random.PRNGKey(seed)
+    written = []
+    for i, re in enumerate(reynolds):
+        cfg = SolverConfig(nx=nx, ny=ny, reynolds=float(re))
+        key, k = jax.random.split(key)
+        frames, cd, cl = simulate(cfg, k, n_frames + warmup_frames,
+                                  substeps=substeps)
+        frames = np.asarray(frames[warmup_frames:])
+        sim_id = 1000 + i
+        path = os.path.join(out_dir, f"{sim_id}.h5")
+        with h5py.File(path, "w") as f:
+            g = f.create_group("measured_data")
+            g.create_dataset("u", data=frames[..., 0])
+            g.create_dataset("v", data=frames[..., 1])
+            g.create_dataset("p", data=frames[..., 2])
+            f.attrs["reynolds"] = float(re)
+            f.create_dataset("cd", data=np.asarray(cd[warmup_frames:]))
+            f.create_dataset("cl", data=np.asarray(cl[warmup_frames:]))
+        written.append(path)
+        print(f"sim {sim_id}: Re={re:.1f} → {path}")
+    return written
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset-root", required=True)
+    parser.add_argument("--scenario", default="cylinder")
+    parser.add_argument("--n-sim", type=int, default=4)
+    parser.add_argument("--n-frames", type=int, default=256)
+    parser.add_argument("--nx", type=int, default=128)
+    parser.add_argument("--ny", type=int, default=128)
+    parser.add_argument("--re-min", type=float, default=80.0)
+    parser.add_argument("--re-max", type=float, default=200.0)
+    args = parser.parse_args()
+    generate_cylinder_sweep(
+        args.dataset_root, args.scenario, args.n_sim, args.n_frames,
+        args.nx, args.ny, re_min=args.re_min, re_max=args.re_max,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""2-D incompressible Navier–Stokes with immersed bodies — the TPU-native
+simulation generator (reference L0 layer, SURVEY §2.3).
+
+The reference generates its numerical data with a Java/Processing LilyPad
+BDIM solver (`data/sim_generation/*/fixed_cylinder/BDIM.pde`) driven over
+XML-RPC, and a Julia WaterLily script for the 3-D foil. This module is the
+JAX equivalent: a fractional-step (projection) solver with a smoothed
+immersed-boundary body treatment in the spirit of BDIM's kernel-smoothed
+body fraction (the convex blend ``u = δ·F + (1−δ)·u_b`` of fluid and body
+velocities, BDIM.pde:1-40), discretized as:
+
+  1. advection:      semi-Lagrangian backtrace (unconditionally stable —
+                     the same scheme LilyPad falls back to)
+  2. diffusion:      explicit Laplacian (ν ∇²u)
+  3. body coupling:  u ← (1−δ)·u + δ·u_b with a tanh-smoothed body fraction δ
+  4. projection:     FFT Poisson solve on the periodic domain; an inflow
+                     sponge near the x-boundaries maintains the free stream
+
+Everything is a pure function of a (u, v) state: one `lax.scan` advances a
+full trajectory on-device; `jax.vmap` sweeps body parameters in a batch.
+FFTs run in f32; the whole stepper jits to a single XLA program.
+
+Force coefficients (CD, CL) are computed from the penalization momentum
+deficit — the quantity the reference env reports per step
+(`sim_generation/cylinder/env/flow_field_env.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    nx: int = 128
+    ny: int = 128
+    lx: float = 4.0  # domain length in cylinder diameters × π-ish units
+    ly: float = 4.0
+    u_inf: float = 1.0  # free-stream velocity
+    reynolds: float = 100.0  # Re = u_inf · D / ν
+    diameter: float = 0.5
+    center: Tuple[float, float] = (1.0, 2.0)
+    dt: float = 0.01
+    smoothing: float = 1.5  # body-fraction smoothing width in cells
+    sponge_width: float = 0.25  # inflow sponge thickness (fraction of lx)
+
+    @property
+    def dx(self) -> float:
+        return self.lx / self.nx
+
+    @property
+    def dy(self) -> float:
+        return self.ly / self.ny
+
+    @property
+    def viscosity(self) -> float:
+        return self.u_inf * self.diameter / self.reynolds
+
+
+def _grids(cfg: SolverConfig):
+    x = (jnp.arange(cfg.nx) + 0.5) * cfg.dx
+    y = (jnp.arange(cfg.ny) + 0.5) * cfg.dy
+    return jnp.meshgrid(x, y, indexing="ij")  # [nx, ny] each
+
+
+def cylinder_fraction(cfg: SolverConfig, center=None, diameter=None):
+    """Kernel-smoothed body fraction δ ∈ [0, 1] (1 inside the body) — the
+    BDIM 'del' function with a tanh profile over ``smoothing`` cells."""
+    cx, cy = center if center is not None else cfg.center
+    d = diameter if diameter is not None else cfg.diameter
+    X, Y = _grids(cfg)
+    r = jnp.sqrt((X - cx) ** 2 + (Y - cy) ** 2)
+    eps = cfg.smoothing * cfg.dx
+    return 0.5 * (1.0 - jnp.tanh((r - d / 2) / eps))
+
+
+def _sponge(cfg: SolverConfig):
+    """Inflow/outflow sponge strength ∈ [0,1]: strong near x-boundaries so
+    the periodic wrap behaves like a free stream."""
+    X, _ = _grids(cfg)
+    w = cfg.sponge_width * cfg.lx
+    left = jnp.clip(1.0 - X / w, 0.0, 1.0)
+    right = jnp.clip(1.0 - (cfg.lx - X) / w, 0.0, 1.0)
+    return jnp.maximum(left, right) ** 2
+
+
+def _wavenumbers(cfg: SolverConfig):
+    kx = 2 * jnp.pi * jnp.fft.fftfreq(cfg.nx, d=cfg.dx)
+    ky = 2 * jnp.pi * jnp.fft.rfftfreq(cfg.ny, d=cfg.dy)
+    return kx[:, None], ky[None, :]
+
+
+def _semi_lagrangian(f, u, v, dt, dx, dy):
+    """Backtrace departure points and bilinearly interpolate on the periodic
+    grid. f, u, v: [nx, ny]."""
+    nx, ny = f.shape
+    I, J = jnp.meshgrid(jnp.arange(nx), jnp.arange(ny), indexing="ij")
+    xi = I - u * dt / dx
+    yj = J - v * dt / dy
+
+    i0 = jnp.floor(xi).astype(jnp.int32)
+    j0 = jnp.floor(yj).astype(jnp.int32)
+    fx = xi - i0
+    fy = yj - j0
+
+    def g(ii, jj):
+        return f[jnp.mod(ii, nx), jnp.mod(jj, ny)]
+
+    return (
+        g(i0, j0) * (1 - fx) * (1 - fy)
+        + g(i0 + 1, j0) * fx * (1 - fy)
+        + g(i0, j0 + 1) * (1 - fx) * fy
+        + g(i0 + 1, j0 + 1) * fx * fy
+    )
+
+
+def _laplacian(f, dx, dy):
+    return (
+        (jnp.roll(f, -1, 0) - 2 * f + jnp.roll(f, 1, 0)) / dx**2
+        + (jnp.roll(f, -1, 1) - 2 * f + jnp.roll(f, 1, 1)) / dy**2
+    )
+
+
+def divergence(u, v, dx, dy):
+    return (
+        (jnp.roll(u, -1, 0) - jnp.roll(u, 1, 0)) / (2 * dx)
+        + (jnp.roll(v, -1, 1) - jnp.roll(v, 1, 1)) / (2 * dy)
+    )
+
+
+def make_stepper(cfg: SolverConfig) -> Callable:
+    """Build step(state, body_fraction, body_velocity) → (state, aux).
+
+    state = (u, v) each [nx, ny]; body_velocity = (ub, vb) scalars (rotating
+    or translating bodies); aux = (p, cd, cl).
+    """
+    kx, ky = _wavenumbers(cfg)
+    k2 = kx**2 + ky**2
+    inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.maximum(k2, 1e-12), 0.0)
+    sponge = _sponge(cfg)
+    dt, dx, dy, nu = cfg.dt, cfg.dx, cfg.dy, cfg.viscosity
+    cell_area = dx * dy
+    ref = 0.5 * cfg.u_inf**2 * cfg.diameter
+
+    def project(u, v):
+        """Fully spectral Helmholtz projection: subtract the curl-free part
+        k (k·û)/|k|² — exact on the periodic grid."""
+        u_hat = jnp.fft.rfft2(u)
+        v_hat = jnp.fft.rfft2(v)
+        s = kx * u_hat + ky * v_hat  # (k·û)
+        u_hat = u_hat - kx * s * inv_k2
+        v_hat = v_hat - ky * s * inv_k2
+        u_p = jnp.fft.irfft2(u_hat, s=(cfg.nx, cfg.ny))
+        v_p = jnp.fft.irfft2(v_hat, s=(cfg.nx, cfg.ny))
+        # pressure-like potential: ∇²φ = div, p = φ/dt (reported field)
+        phi_hat = -1j * s * inv_k2
+        p = jnp.fft.irfft2(phi_hat / dt, s=(cfg.nx, cfg.ny))
+        return u_p, v_p, p
+
+    def step(state, body, body_vel=(0.0, 0.0)):
+        u, v = state
+        # 1. advection (semi-Lagrangian, unconditionally stable)
+        ua = _semi_lagrangian(u, u, v, dt, dx, dy)
+        va = _semi_lagrangian(v, u, v, dt, dx, dy)
+        # 2. explicit diffusion
+        ud = ua + dt * nu * _laplacian(ua, dx, dy)
+        vd = va + dt * nu * _laplacian(va, dx, dy)
+        # 3. immersed body: BDIM-style convex blend toward the body velocity
+        ub, vb = body_vel
+        u_forced = (1 - body) * ud + body * ub
+        v_forced = (1 - body) * vd + body * vb
+        # force = momentum removed by the body per unit time
+        fx = jnp.sum((ud - u_forced)) * cell_area / dt
+        fy = jnp.sum((vd - v_forced)) * cell_area / dt
+        # 4. free-stream sponge at the x-boundaries
+        u_s = (1 - sponge) * u_forced + sponge * cfg.u_inf
+        v_s = (1 - sponge) * v_forced
+        # 5. pressure projection
+        u_p, v_p, p = project(u_s, v_s)
+        cd = fx / ref
+        cl = fy / ref
+        return (u_p, v_p), (p, cd, cl)
+
+    return step
+
+
+def initial_state(cfg: SolverConfig, key=None):
+    u = jnp.full((cfg.nx, cfg.ny), cfg.u_inf, jnp.float32)
+    v = jnp.zeros((cfg.nx, cfg.ny), jnp.float32)
+    if key is not None:  # seed asymmetry so shedding starts
+        v = v + 1e-2 * jax.random.normal(key, v.shape)
+    return u, v
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def simulate(cfg: SolverConfig, key, n_frames: int, substeps: int = 4,
+             center=None, diameter=None, body_vel=(0.0, 0.0)):
+    """Roll a full trajectory on-device.
+
+    Returns (frames, cd, cl): frames [n_frames, nx, ny, 3] with channels
+    (u, v, p) — the layout the benchmark's HDF5 files store
+    (fluid_dataset.py:352-372).
+    """
+    step = make_stepper(cfg)
+    body = cylinder_fraction(cfg, center=center, diameter=diameter)
+    state = initial_state(cfg, key)
+
+    def frame(state, _):
+        def sub(s, _):
+            s, aux = step(s, body, body_vel)
+            return s, aux
+
+        state, auxs = jax.lax.scan(sub, state, None, length=substeps)
+        p, cd, cl = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+        u, v = state
+        return state, (jnp.stack([u, v, p], axis=-1), cd, cl)
+
+    _, (frames, cds, cls_) = jax.lax.scan(frame, state, None, length=n_frames)
+    return frames, cds, cls_
