@@ -39,7 +39,13 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = False,
         pad_last: bool = False,
+        process_shard: bool = False,
     ):
+        """``batch_size`` is the GLOBAL batch. With ``process_shard`` on a
+        multi-host run, each process loads only its `jax.process_index()`
+        slice of every batch (same permutation everywhere — the seed is
+        shared), which composes with `jax.make_array_from_process_local_data`
+        style assembly; single-process runs are unaffected."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,6 +54,15 @@ class DataLoader:
         self.pad_last = pad_last
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        import jax
+
+        self._n_proc = jax.process_count() if process_shard else 1
+        self._proc = jax.process_index() if process_shard else 0
+        if process_shard and batch_size % self._n_proc:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{self._n_proc} processes"
+            )
 
     def __len__(self):
         n = len(self.dataset)
@@ -78,8 +93,11 @@ class DataLoader:
         bs = self.batch_size
         n = len(idx)
         stop = (n // bs) * bs if self.drop_last else n
+        per = bs // self._n_proc
         for s in range(0, stop, bs):
             batch_idx = idx[s : s + bs]
+            if self._n_proc > 1:
+                batch_idx = batch_idx[self._proc * per : (self._proc + 1) * per]
             xs, ys = self._fetch(batch_idx)
             if self.pad_last and len(batch_idx) < bs:
                 pad = bs - len(batch_idx)
