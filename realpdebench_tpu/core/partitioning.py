@@ -1,0 +1,88 @@
+"""Parameter partitioning rules — tensor parallelism over the ``mp`` axis.
+
+The benchmark models are parameter-heavy in specific places (an FNO3d at
+width 64 / modes (4,12,16) carries ~100M spectral parameters → ~1.2 GB with
+Adam moments in f32), so sharding weights over a model-parallel mesh axis is
+the difference between replicating >1 GB per chip and scaling it out. GSPMD
+propagates from the input shardings: weights stay resident sharded, the
+channel contractions become partial matmuls with an all-reduce on ICI.
+
+Rules (matched on the flattened param path):
+  * spectral corner weights ``w_real``/``w_imag`` [4, Cin, Cout, m...] —
+    shard Cout (axis 2): each mp shard owns a slice of output channels;
+  * Dense/Conv ``kernel`` leaves — shard the output-feature (last) axis;
+  * everything else (biases, norms, scalars) replicated.
+A dimension that does not divide the mp size stays replicated.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from realpdebench_tpu.core.mesh import MODEL_AXIS, MeshContext
+
+
+def _leaf_spec(path: str, leaf, mp: int) -> P:
+    ndim = getattr(leaf, "ndim", 0)
+    shape = getattr(leaf, "shape", ())
+    if mp <= 1 or ndim < 2:
+        return P()
+    if ("w_real" in path or "w_imag" in path) and ndim >= 3:
+        if shape[2] % mp == 0:
+            return P(*([None, None, MODEL_AXIS] + [None] * (ndim - 3)))
+        return P()
+    if path.endswith("kernel']") or path.endswith("kernel]"):
+        if shape[-1] % mp == 0:
+            return P(*([None] * (ndim - 1) + [MODEL_AXIS]))
+        return P()
+    return P()
+
+
+def param_shardings(params, mesh_ctx: MeshContext):
+    """Pytree of NamedShardings matching ``params``."""
+    mp = mesh_ctx.mp_size
+
+    def one(path, leaf):
+        spec = _leaf_spec(jax.tree_util.keystr(path), leaf, mp)
+        return NamedSharding(mesh_ctx.mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_train_state(state, mesh_ctx: MeshContext):
+    """Place a TrainState: params (and matching Adam moments) per the rules,
+    everything else replicated."""
+    p_shard = param_shardings(state.params, mesh_ctx)
+    params = jax.device_put(state.params, p_shard)
+
+    def put_opt(node):
+        # optax adam state mirrors the param tree (mu/nu); shard those the
+        # same way, replicate scalars/schedules
+        try:
+            same_tree = (
+                jax.tree_util.tree_structure(node)
+                == jax.tree_util.tree_structure(state.params)
+            )
+        except Exception:
+            same_tree = False
+        if same_tree:
+            return jax.device_put(node, p_shard)
+        return jax.device_put(node, mesh_ctx.replicated)
+
+    if hasattr(state.opt_state, "__len__"):
+        opt_state = tuple(
+            type(s)(*[put_opt(getattr(s, f)) for f in s._fields])
+            if hasattr(s, "_fields") else jax.device_put(s, mesh_ctx.replicated)
+            for s in state.opt_state
+        )
+    else:
+        opt_state = jax.device_put(state.opt_state, mesh_ctx.replicated)
+
+    return state.replace(
+        params=params,
+        model_state=jax.device_put(state.model_state, mesh_ctx.replicated),
+        opt_state=opt_state,
+        step=jax.device_put(state.step, mesh_ctx.replicated),
+    )

@@ -45,3 +45,40 @@ def test_mesh_context_2d():
     x = np.ones((4, 3, 2), np.float32)
     xd = jax.device_put(x, s)
     assert xd.shape == (4, 3, 2)
+
+
+def test_param_shardings_fno():
+    from realpdebench_tpu.config import Config
+    from realpdebench_tpu.core.partitioning import param_shardings, shard_train_state
+    from realpdebench_tpu.models.registry import build_model
+    from realpdebench_tpu.train.train_step import (
+        TrainState, build_optimizer, make_train_step,
+    )
+    from realpdebench_tpu.data.normalizer import IdentityNormalizer
+    import jax.numpy as jnp
+
+    ctx = make_mesh_context("dp=4,mp=2")
+    shape = (4, 16, 16, 3)
+    bundle = build_model(shapes=(shape, shape), model_name="fno",
+                         modes1=2, modes2=3, modes3=3, n_layers=2, width=8)
+    x = np.random.default_rng(0).standard_normal((8, *shape)).astype(np.float32)
+    variables = bundle.init(jax.random.PRNGKey(0), x[:1])
+    params, ms = bundle.split_variables(variables)
+
+    shardings = param_shardings(params, ctx)
+    spec = shardings["layer_0"]["spectral"]["w_real"].spec
+    assert spec == jax.sharding.PartitionSpec(None, None, "mp", None, None, None)
+    # biases replicated
+    assert shardings["fc0"]["bias"].spec == jax.sharding.PartitionSpec()
+
+    # full sharded train step executes with tp+dp
+    cfg = Config(lr=1e-3, scheduler="cosine", num_update=4, clip_grad_norm=0.0)
+    state = TrainState.create(params, ms, build_optimizer(cfg))
+    state = shard_train_state(state, ctx)
+    step = make_train_step(bundle, IdentityNormalizer(), ctx)
+    xd = jax.device_put(x, ctx.batch_sharding)
+    state, loss = step(state, xd, xd, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # weights remain mp-sharded after the update
+    w = state.params["layer_0"]["spectral"]["w_real"]
+    assert len(w.sharding.device_set) >= 2
