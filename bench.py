@@ -35,7 +35,7 @@ BATCH = 32
 SHAPE_IN = (20, 64, 128, 3)
 SHAPE_OUT = (20, 64, 128, 3)
 N_AUTOREGRESSIVE = 10
-EVAL_BATCH = 16  # fits one v5e chip; frames/sec is batch-normalized anyway
+EVAL_BATCH = 8  # fits one v5e chip alongside params; frames/sec is batch-normalized
 
 
 def main():
@@ -50,16 +50,22 @@ def main():
     )
 
     n_chips = jax.device_count()
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((BATCH, *SHAPE_IN)).astype(np.float32)
-    y = rng.standard_normal((BATCH, *SHAPE_OUT)).astype(np.float32)
+    # batches are synthesized ON DEVICE: the benchmark measures compute, not
+    # the host link (which is a slow tunnel in this environment)
+    key = jax.random.PRNGKey(0)
+    kx, ky, key = jax.random.split(key, 3)
+    make_x = jax.jit(lambda k: jax.random.normal(k, (BATCH, *SHAPE_IN), jnp.float32))
+    make_y = jax.jit(lambda k: jax.random.normal(k, (BATCH, *SHAPE_OUT), jnp.float32))
+    xd = make_x(kx)
+    yd = make_y(ky)
+    x = np.zeros((1, *SHAPE_IN), np.float32)  # tiny host sample for init shapes
 
     bundle = build_model(
         shapes=(SHAPE_IN, SHAPE_OUT),
         model_name="fno", modes1=4, modes2=12, modes3=16, n_layers=4, width=64,
         compute_dtype="bfloat16",
     )
-    variables = bundle.init(jax.random.PRNGKey(0), x[:1])
+    variables = bundle.init(jax.random.PRNGKey(0), x)
     params, model_state = bundle.split_variables(variables)
     cfg = Config(lr=1e-4, scheduler="cosine", num_update=4000, clip_grad_norm=0.0)
     state = TrainState.create(params, model_state, build_optimizer(cfg))
@@ -67,9 +73,6 @@ def main():
     # gradient semantics identical to the full batch
     grad_accum = 4 if n_chips == 1 else 1
     step = make_train_step(bundle, IdentityNormalizer(), grad_accum=grad_accum)
-
-    xd, yd = jax.device_put(x), jax.device_put(y)
-    key = jax.random.PRNGKey(0)
 
     # warmup / compile
     state, loss = step(state, xd, yd, key)
@@ -86,13 +89,21 @@ def main():
     steps_per_sec = n_steps / train_dt
     steps_per_sec_chip = steps_per_sec / n_chips
 
-    # rollout frames/sec (eval path: batch 64, 10 autoregressive steps)
-    xr = rng.standard_normal((EVAL_BATCH, *SHAPE_IN)).astype(np.float32)
-    yr = rng.standard_normal(
-        (EVAL_BATCH, SHAPE_OUT[0] * N_AUTOREGRESSIVE, *SHAPE_OUT[1:])
-    ).astype(np.float32)
-    rollout = make_rollout_fn(bundle, IdentityNormalizer(), N_AUTOREGRESSIVE)
+    # rollout frames/sec (eval path, device-synthesized batch); free the
+    # training buffers first — opt state + donated batches otherwise sit in
+    # HBM alongside the rollout activations
     eval_vars = {"params": state.params, **state.model_state}
+    del state, xd, yd
+    import gc
+
+    gc.collect()
+    key, k1, k2 = jax.random.split(key, 3)
+    xr = jax.jit(lambda k: jax.random.normal(
+        k, (EVAL_BATCH, *SHAPE_IN), jnp.float32))(k1)
+    yr = jax.jit(lambda k: jax.random.normal(
+        k, (EVAL_BATCH, SHAPE_OUT[0] * N_AUTOREGRESSIVE, *SHAPE_OUT[1:]),
+        jnp.float32))(k2)
+    rollout = make_rollout_fn(bundle, IdentityNormalizer(), N_AUTOREGRESSIVE)
     pred, _, _ = rollout(eval_vars, xr, yr, key)
     jax.block_until_ready(pred)
     n_rep = 5

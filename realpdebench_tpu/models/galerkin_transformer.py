@@ -44,21 +44,20 @@ def _xavier_diag_init(gain: float, diagonal_weight: float):
     return init
 
 
-class PerHeadLayerNorm(nn.Module):
-    """Independent affine LayerNorm per head over d_k (layers.py:938-941)."""
+class PerHeadAffine(nn.Module):
+    """Per-head LayerNorm affine parameters (layers.py:938-941); the
+    normalization itself runs inside the fused scores kernel."""
 
     n_head: int
     d_k: int
-    eps: float
 
     @nn.compact
-    def __call__(self, x):  # [B, h, N, d_k]
-        scale = self.param("scale", nn.initializers.ones, (self.n_head, self.d_k))
-        bias = self.param("bias", nn.initializers.zeros, (self.n_head, self.d_k))
-        mean = x.mean(axis=-1, keepdims=True)
-        var = x.var(axis=-1, keepdims=True)
-        xn = (x - mean) / jnp.sqrt(var + self.eps)
-        return xn * scale[None, :, None, :] + bias[None, :, None, :]
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.n_head, self.d_k))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.n_head, self.d_k))
+        return scale, bias
 
 
 class GalerkinAttention(nn.Module):
@@ -84,10 +83,13 @@ class GalerkinAttention(nn.Module):
         k = proj("k")
         v = proj("v")
 
-        k = PerHeadLayerNorm(self.n_head, d_k, self.norm_eps, name="norm_K")(k)
-        v = PerHeadLayerNorm(self.n_head, d_k, self.norm_eps, name="norm_V")(v)
+        ks, kb = PerHeadAffine(self.n_head, d_k, name="norm_K")()
+        vs, vb = PerHeadAffine(self.n_head, d_k, name="norm_V")()
 
-        scores = jnp.einsum("bhnd,bhne->bhde", k, v) / N
+        # fused LN(K)ᵀLN(V)/N — Pallas on TPU, jnp elsewhere
+        from realpdebench_tpu.ops.pallas.galerkin import galerkin_scores
+
+        scores = galerkin_scores(k, v, ks, kb, vs, vb, self.norm_eps)
         scores = nn.Dropout(self.score_dropout, deterministic=not train)(scores)
         out = jnp.einsum("bhnd,bhde->bhne", q, scores)
         return out.transpose(0, 2, 1, 3).reshape(B, N, self.d_model)
