@@ -20,9 +20,10 @@ TPU design notes:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
-def truncated_spectral_conv3d(x, w_real, w_imag):
+def truncated_spectral_conv3d_fft(x, w_real, w_imag):
     """Mode-truncated spectral conv.
 
     Args:
@@ -78,3 +79,113 @@ def grid_features(shape, dtype=jnp.float32):
         jnp.broadcast_to(gy, (T, H, W, 1)),
         jnp.broadcast_to(gx, (T, H, W, 1)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated DFT-as-matmul path
+# ---------------------------------------------------------------------------
+#
+# TPU FFTs degrade badly on grids with large prime factors (the FNO's +6
+# non-periodic padding produces sizes like 26, 70, 134 = 2·67 → Bluestein).
+# But the spectral conv only KEEPS (m1, m2, m3) ≪ grid modes, so the exact
+# same math can be three small dense DFT matmuls per direction — >97% of the
+# spectrum is never computed, every FLOP lands on the MXU, and the result is
+# bit-equal to the FFT path up to float rounding.
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=64)
+def _dft_factors(T: int, H: int, W: int, m1: int, m2: int, m3: int):
+    """Forward DFT matrices restricted to the kept corner modes.
+
+    Ew: [W, m3]   — rfft axis, modes 0..m3-1
+    Eh: [H, 2m2]  — modes [0..m2-1] ++ [H-m2..H-1]
+    Et: [T, 2m1]  — modes [0..m1-1] ++ [T-m1..T-1]
+    and the inverse-pass matrices (conjugate transposes with irfft weights).
+    """
+    def fwd(n, ks):
+        idx = np.arange(n)[:, None]
+        return np.exp(-2j * np.pi * idx * np.asarray(ks)[None, :] / n)
+
+    kw = np.arange(m3)
+    kh = np.concatenate([np.arange(m2), np.arange(H - m2, H)])
+    kt = np.concatenate([np.arange(m1), np.arange(T - m1, T)])
+    Ew = fwd(W, kw).astype(np.complex64)
+    Eh = fwd(H, kh).astype(np.complex64)
+    Et = fwd(T, kt).astype(np.complex64)
+
+    # inverse: ifft over T and H on the kept modes; irfft over W with the
+    # Hermitian-doubling weights (c_0 = 1, c_{k>0} = 2) and real projection
+    It = np.conj(Et).T / T                       # [2m1, T]
+    Ih = np.conj(Eh).T / H                       # [2m2, H]
+    c = np.where(kw == 0, 1.0, 2.0) / W
+    theta = 2 * np.pi * np.outer(kw, np.arange(W)) / W
+    Iw_re = (c[:, None] * np.cos(theta)).astype(np.float32)   # [m3, W]
+    Iw_im = (-c[:, None] * np.sin(theta)).astype(np.float32)  # [m3, W]
+    return Ew, Eh, Et, It, Ih, Iw_re, Iw_im
+
+
+def truncated_spectral_conv3d_dft(x, w_real, w_imag):
+    """Drop-in equivalent of `truncated_spectral_conv3d` computed with
+    truncated DFT matmuls instead of full FFTs (exact to float rounding).
+
+    Contraction order is chosen to keep intermediates small: forward
+    W → H → T (each step shrinks an axis to its mode budget), inverse
+    T → H → W (each step grows one axis back).
+    """
+    B, T, H, W, Cin = x.shape
+    _, _, Cout, m1, m2, m3 = w_real.shape
+    Ew, Eh, Et, It, Ih, Iw_re, Iw_im = _dft_factors(T, H, W, m1, m2, m3)
+    Ew = jnp.asarray(Ew)
+    Eh = jnp.asarray(Eh)
+    Et = jnp.asarray(Et)
+    It = jnp.asarray(It)
+    Ih = jnp.asarray(Ih)
+    Iw_re = jnp.asarray(Iw_re)
+    Iw_im = jnp.asarray(Iw_im)
+
+    x32 = x.astype(jnp.float32)
+    # forward: real input → W modes (complex), then H, then T
+    fw = jnp.einsum("bthwc,wi->bthic", x32, Ew)            # [B,T,H,m3,C] c64
+    fh = jnp.einsum("bthic,hj->btjic", fw, Eh)             # [B,T,2m2,m3,C]
+    ft = jnp.einsum("btjic,tk->bkjic", fh, Et)             # [B,2m1,2m2,m3,C]
+
+    # corner blocks in reference order (+T+H, -T+H, +T-H, -T-H)
+    corners = jnp.stack(
+        [
+            ft[:, :m1, :m2], ft[:, m1:, :m2],
+            ft[:, :m1, m2:], ft[:, m1:, m2:],
+        ],
+        axis=1,
+    )  # [B, 4, m1, m2, m3, Cin]
+
+    wc = (w_real + 1j * w_imag).astype(jnp.complex64)
+    out_c = jnp.einsum("bkxyzi,kioxyz->bkxyzo", corners, wc,
+                       preferred_element_type=jnp.complex64)
+
+    # reassemble the [2m1, 2m2] corner grid and invert T → H → W
+    top = jnp.concatenate([out_c[:, 0], out_c[:, 2]], axis=2)   # +T rows
+    bot = jnp.concatenate([out_c[:, 1], out_c[:, 3]], axis=2)   # -T rows
+    g = jnp.concatenate([top, bot], axis=1)  # [B, 2m1, 2m2, m3, Cout]
+
+    it = jnp.einsum("bkjic,kt->btjic", g, It)              # [B,T,2m2,m3,C]
+    ih = jnp.einsum("btjic,jh->bthic", it, Ih)             # [B,T,H,m3,C]
+    y = (
+        jnp.einsum("bthic,iw->bthwc", ih.real, Iw_re)
+        + jnp.einsum("bthic,iw->bthwc", ih.imag, Iw_im)
+    )
+    return y
+
+
+def truncated_spectral_conv3d(x, w_real, w_imag, impl: str | None = None):
+    """Public entry: dispatches to the DFT-matmul implementation (default —
+    exact, MXU-bound, immune to awkward grid factorizations) or the FFT path
+    (``impl='fft'`` / env REALPDEBENCH_SPECTRAL=fft, useful when modes
+    approach the full spectrum)."""
+    import os
+
+    impl = impl or os.environ.get("REALPDEBENCH_SPECTRAL", "dft")
+    if impl == "fft":
+        return truncated_spectral_conv3d_fft(x, w_real, w_imag)
+    return truncated_spectral_conv3d_dft(x, w_real, w_imag)
