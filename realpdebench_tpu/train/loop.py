@@ -138,6 +138,20 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
     state = TrainState.create(params, model_state, tx)
 
     ckpt = CheckpointManager(os.path.join(exp_path, "ckpt"))
+    start_iteration = 0
+    if cfg.get("resume"):
+        # full resume (params + optimizer + step) from this experiment's own
+        # checkpoint dir — capability the reference lacks (it restarts Adam,
+        # SURVEY §5 checkpoint row)
+        resume_dir = cfg.get("resume") if isinstance(cfg.get("resume"), str)             else os.path.join(exp_path, "ckpt")
+        mgr = CheckpointManager(resume_dir)
+        if mgr.latest_step() is not None:
+            state, meta = mgr.restore(state, load_opt_state=True)
+            start_iteration = int(state.step)
+            logging.info(
+                f"Resumed from {resume_dir} at iteration {start_iteration}"
+            )
+        mgr.close()
     if cfg.get("is_finetune"):
         state = load_reference_or_orbax_checkpoint(
             cfg.checkpoint_path, state, bundle
@@ -165,7 +179,7 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
     profile_dir = cfg.get("profile_dir")
     profile_window = (10, min(20, num_update))  # steps traced when enabled
 
-    for iteration in range(1, num_update + 1):
+    for iteration in range(start_iteration + 1, num_update + 1):
         x, y = next(batches)
         rng, k = jax.random.split(rng)
         with maybe_trace(

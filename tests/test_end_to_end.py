@@ -76,3 +76,21 @@ def test_finetune_paradigm(root, tmp_path):
     )
     state, history = run_training(ft_cfg, exp2)
     assert np.isfinite(history["train_loss"]).all()
+
+
+def test_resume_continues_from_checkpoint(root, tmp_path):
+    """Full resume (params + Adam state + step) — beyond the reference's
+    weights-only finetune restart."""
+    from realpdebench_tpu.train.loop import run_training
+
+    exp = str(tmp_path / "resume")
+    os.makedirs(exp, exist_ok=True)
+    cfg = _cfg(root, num_update=2)
+    state1, _ = run_training(cfg, exp)
+    assert int(state1.step) == 2
+
+    cfg2 = cfg.replace(num_update=4, resume=True)
+    state2, history2 = run_training(cfg2, exp)
+    assert int(state2.step) == 4
+    # only the remaining iterations were run
+    assert len(history2["train_loss"]) == 2
