@@ -261,9 +261,18 @@ class Unet3d(nn.Module):
     in_time: int = 10
     out_time: int = 10
     use_sparse_linear_attn: bool = True
+    remat: bool = True  # rematerialize blocks: activation memory ~one block
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.remat:
+            RB = nn.remat(ResnetBlock)
+            TA = nn.remat(TemporalAttention)
+            SA = nn.remat(SpatialAttention)
+            SLA = nn.remat(SpatialLinearAttention)
+        else:
+            RB, TA, SA, SLA = (ResnetBlock, TemporalAttention,
+                               SpatialAttention, SpatialLinearAttention)
         # x: [B, T_in, H, W, C]
         B = x.shape[0]
         if self.out_time > x.shape[1]:
@@ -277,7 +286,7 @@ class Unet3d(nn.Module):
         ks = self.init_kernel_size
         x = nn.Conv(self.dim, kernel_size=(ks, ks, ks), padding="SAME",
                     name="init_conv")(x)
-        x = x + TemporalAttention(
+        x = x + TA(
             self.dim, self.attn_heads, self.attn_dim_head,
             name="init_temporal_attn",
         )(ChannelLayerNorm(self.dim, name="init_attn_norm")(x), pos_bias)
@@ -297,15 +306,15 @@ class Unet3d(nn.Module):
         hs = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= n_res - 1
-            x = ResnetBlock(dim_out, time_dim, self.resnet_groups,
+            x = RB(dim_out, time_dim, self.resnet_groups,
                             name=f"down_{ind}_block1")(x, t)
-            x = ResnetBlock(dim_out, time_dim, self.resnet_groups,
+            x = RB(dim_out, time_dim, self.resnet_groups,
                             name=f"down_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
-                x = x + SpatialLinearAttention(
+                x = x + SLA(
                     dim_out, self.attn_heads, name=f"down_{ind}_spatial_attn"
                 )(ChannelLayerNorm(dim_out, name=f"down_{ind}_spatial_norm")(x))
-            x = x + TemporalAttention(
+            x = x + TA(
                 dim_out, self.attn_heads, self.attn_dim_head,
                 name=f"down_{ind}_temporal_attn",
             )(ChannelLayerNorm(dim_out, name=f"down_{ind}_temporal_norm")(x),
@@ -318,30 +327,30 @@ class Unet3d(nn.Module):
                             name=f"down_{ind}_downsample")(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, time_dim, self.resnet_groups,
+        x = RB(mid_dim, time_dim, self.resnet_groups,
                         name="mid_block1")(x, t)
-        x = x + SpatialAttention(
+        x = x + SA(
             mid_dim, self.attn_heads, name="mid_spatial_attn"
         )(ChannelLayerNorm(mid_dim, name="mid_spatial_norm")(x))
-        x = x + TemporalAttention(
+        x = x + TA(
             mid_dim, self.attn_heads, self.attn_dim_head,
             name="mid_temporal_attn",
         )(ChannelLayerNorm(mid_dim, name="mid_temporal_norm")(x), pos_bias)
-        x = ResnetBlock(mid_dim, time_dim, self.resnet_groups,
+        x = RB(mid_dim, time_dim, self.resnet_groups,
                         name="mid_block2")(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind >= n_res - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_in, time_dim, self.resnet_groups,
+            x = RB(dim_in, time_dim, self.resnet_groups,
                             name=f"up_{ind}_block1")(x, t)
-            x = ResnetBlock(dim_in, time_dim, self.resnet_groups,
+            x = RB(dim_in, time_dim, self.resnet_groups,
                             name=f"up_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
-                x = x + SpatialLinearAttention(
+                x = x + SLA(
                     dim_in, self.attn_heads, name=f"up_{ind}_spatial_attn"
                 )(ChannelLayerNorm(dim_in, name=f"up_{ind}_spatial_norm")(x))
-            x = x + TemporalAttention(
+            x = x + TA(
                 dim_in, self.attn_heads, self.attn_dim_head,
                 name=f"up_{ind}_temporal_attn",
             )(ChannelLayerNorm(dim_in, name=f"up_{ind}_temporal_norm")(x),
@@ -356,7 +365,7 @@ class Unet3d(nn.Module):
                 )(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, None, self.resnet_groups,
+        x = RB(self.dim, None, self.resnet_groups,
                         name="final_block")(x)
         return nn.Conv(self.out_channels, kernel_size=(1, 1, 1),
                        name="final_conv")(x)
