@@ -22,11 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: repeated bench runs (and the driver's) skip
-# the multi-minute remote compiles
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compilation cache here — in this environment CPU
+# executables are AOT-compiled on the remote-compile server and round-trip
+# through the cache with mismatched host features, silently poisoning reruns
 
 # Estimated A100 torch reference throughput for cylinder/FNO (steps/sec).
 A100_REFERENCE_STEPS_PER_SEC = 6.0

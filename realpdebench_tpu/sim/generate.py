@@ -73,3 +73,65 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def generate_controlled_sweep(dataset_root, n_sim=4, n_frames=256, nx=128,
+                              ny=128, substeps=4, re=150.0, seed=0,
+                              warmup_frames=64, action_scale_min=0.2,
+                              action_scale_max=1.0):
+    """Controlled-cylinder trajectories: a rotation-control action sequence is
+    replayed during the roll (reference `controlled_cylinder/main.py:158-165`
+    replays `action.npy` sequences); filenames follow the scenario pattern
+    `{id}_{scale}.h5` so parameter-conditioning channels parse."""
+    import h5py
+
+    from realpdebench_tpu.sim.ns2d import (
+        SolverConfig, cylinder_fraction, initial_state, make_stepper,
+    )
+
+    out_dir = os.path.join(dataset_root, "controlled_cylinder", "numerical")
+    os.makedirs(out_dir, exist_ok=True)
+    scales = np.linspace(action_scale_min, action_scale_max, n_sim)
+    key = jax.random.PRNGKey(seed)
+    written = []
+    for i, scale in enumerate(scales):
+        cfg = SolverConfig(nx=nx, ny=ny, reynolds=float(re))
+        step = make_stepper(cfg)
+        body = cylinder_fraction(cfg)
+        total = n_frames + warmup_frames
+        # smooth random control signal (surface tangential speed)
+        key, ka, ks = jax.random.split(key, 3)
+        raw = jax.random.normal(ka, (total,))
+        kernel = jax.numpy.ones(9) / 9.0
+        actions = float(scale) * jax.numpy.convolve(raw, kernel, mode="same")
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=())
+        def roll(state, actions):
+            def frame(state, a):
+                def sub(s, _):
+                    s, aux = step(s, body, (0.0, a))
+                    return s, aux
+
+                state, auxs = jax.lax.scan(sub, state, None, length=substeps)
+                p, cd, cl = jax.tree_util.tree_map(lambda z: z[-1], auxs)
+                u, v = state
+                return state, (jax.numpy.stack([u, v, p], axis=-1), cd, cl)
+
+            return jax.lax.scan(frame, state, actions)
+
+        state = initial_state(cfg, ks)
+        _, (frames, cd, cl) = roll(state, actions)
+        frames = np.asarray(frames[warmup_frames:])
+        sim_id = 1000 + i
+        path = os.path.join(out_dir, f"{sim_id}_{scale:.2f}.h5")
+        with h5py.File(path, "w") as f:
+            g = f.create_group("measured_data")
+            g.create_dataset("u", data=frames[..., 0])
+            g.create_dataset("v", data=frames[..., 1])
+            g.create_dataset("p", data=frames[..., 2])
+            f.create_dataset("action", data=np.asarray(actions[warmup_frames:]))
+        written.append(path)
+        print(f"controlled sim {sim_id}: scale={scale:.2f} → {path}")
+    return written

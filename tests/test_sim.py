@@ -96,3 +96,21 @@ def test_generate_consumable_by_dataset(tmp_path):
     x, y = ds[0]
     assert x.shape == (4, 32, 32, 3)
     assert np.isfinite(x).all()
+
+
+def test_generate_controlled(tmp_path):
+    from realpdebench_tpu.sim.generate import generate_controlled_sweep
+
+    paths = generate_controlled_sweep(
+        str(tmp_path), n_sim=2, n_frames=24, nx=32, ny=32, substeps=1,
+        warmup_frames=4,
+    )
+    assert len(paths) == 2
+    import h5py
+    import re as re_mod
+
+    for p in paths:
+        assert re_mod.match(r"(\d+)_(\d+\.?\d*)\.h5", os.path.basename(p))
+        with h5py.File(p, "r") as f:
+            assert f["measured_data"]["u"].shape == (24, 32, 32)
+            assert f["action"].shape == (24,)
