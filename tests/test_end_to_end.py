@@ -94,3 +94,18 @@ def test_resume_continues_from_checkpoint(root, tmp_path):
     assert int(state2.step) == 4
     # only the remaining iterations were run
     assert len(history2["train_loss"]) == 2
+
+
+def test_training_determinism(root, tmp_path):
+    """Same seed → identical losses (SURVEY §5: the JAX build gets
+    determinism tests in place of the reference's nonexistent sanitizers)."""
+    from realpdebench_tpu.train.loop import run_training
+
+    losses = []
+    for run in range(2):
+        exp = str(tmp_path / f"det{run}")
+        os.makedirs(exp, exist_ok=True)
+        cfg = _cfg(root, num_update=3, num_workers=0)
+        _, history = run_training(cfg, exp)
+        losses.append(history["train_loss"])
+    np.testing.assert_array_equal(losses[0], losses[1])
