@@ -27,7 +27,11 @@ import numpy as np
 # through the cache with mismatched host features, silently poisoning reruns
 
 # Estimated A100 torch reference throughput for cylinder/FNO (steps/sec).
-A100_REFERENCE_STEPS_PER_SEC = 6.0
+# The repo publishes no numbers (BASELINE.md). Estimate: fwd+bwd ≈ 3.7 TFLOP
+# per step (4 spectral layers + pointwise convs at bs32·(26,70,134)·w64),
+# cuFFT-dominated f32 with TF32 matmuls at the ~15-25% end-to-end MFU typical
+# of torch FNO training on A100 → ≈ 2-4 steps/s; we use the midpoint.
+A100_REFERENCE_STEPS_PER_SEC = 3.0
 
 BATCH = 32
 SHAPE_IN = (20, 64, 128, 3)
