@@ -34,6 +34,7 @@ class SpectralConv3d(nn.Module):
     modes1: int
     modes2: int
     modes3: int
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +59,9 @@ class SpectralConv3d(nn.Module):
                 nn.initializers.uniform(scale=1.0)(k, shape, jnp.float32)
             )
         )
-        return truncated_spectral_conv3d(x, w_real, w_imag)
+        return truncated_spectral_conv3d(
+            x, w_real, w_imag, compute_dtype=self.compute_dtype
+        )
 
 
 class FNOLayer(nn.Module):
@@ -77,16 +80,17 @@ class FNOLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
         x1 = SpectralConv3d(
             self.width, self.width, self.modes1, self.modes2, self.modes3,
-            name="spectral",
+            compute_dtype=dt, name="spectral",
         )(x)
-        x2 = nn.Dense(self.width, name="pointwise", dtype=self.compute_dtype)(
-            x
-        ).astype(jnp.float32)
-        x = x1 + x2
+        x2 = nn.Dense(self.width, name="pointwise", dtype=dt)(x)
+        x = x1.astype(dt) + x2.astype(dt)
+        # running stats stay f32; normalization math follows compute_dtype
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=dt, name="bn",
         )(x)
         if self.apply_gelu:
             x = act_gelu(x)

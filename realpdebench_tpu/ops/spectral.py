@@ -178,14 +178,87 @@ def truncated_spectral_conv3d_dft(x, w_real, w_imag):
     return y
 
 
-def truncated_spectral_conv3d(x, w_real, w_imag, impl: str | None = None):
-    """Public entry: dispatches to the DFT-matmul implementation (default —
-    exact, MXU-bound, immune to awkward grid factorizations) or the FFT path
-    (``impl='fft'`` / env REALPDEBENCH_SPECTRAL=fft, useful when modes
-    approach the full spectrum)."""
+def truncated_spectral_conv3d(x, w_real, w_imag, impl: str | None = None,
+                              compute_dtype=jnp.float32):
+    """Public entry. Implementations:
+      * 'dft'  (default) — exact truncated-DFT matmuls, f32;
+      * 'fft'  — full rfftn/irfftn path (env REALPDEBENCH_SPECTRAL=fft);
+      * 'dft' with compute_dtype=bfloat16 — real-arithmetic bf16 matmuls
+        with f32 accumulation (training-quality fast path)."""
     import os
 
     impl = impl or os.environ.get("REALPDEBENCH_SPECTRAL", "dft")
     if impl == "fft":
         return truncated_spectral_conv3d_fft(x, w_real, w_imag)
+    if compute_dtype == jnp.bfloat16:
+        return truncated_spectral_conv3d_dft_lowp(x, w_real, w_imag)
     return truncated_spectral_conv3d_dft(x, w_real, w_imag)
+
+
+def truncated_spectral_conv3d_dft_lowp(x, w_real, w_imag,
+                                       compute_dtype=jnp.bfloat16):
+    """Low-precision DFT path: complex arithmetic unrolled into real matmuls
+    so the MXU runs bf16 with f32 accumulation (complex bf16 does not exist).
+    ~2× the dense-DFT throughput and half the HBM traffic of the f32 path;
+    relative error ~1e-2 (training-quality; use the f32 path for checkpoint
+    parity evals)."""
+    B, T, H, W, Cin = x.shape
+    _, _, Cout, m1, m2, m3 = w_real.shape
+    Ew, Eh, Et, It, Ih, Iw_re, Iw_im = _dft_factors(T, H, W, m1, m2, m3)
+    dt = compute_dtype
+    cast = lambda a: jnp.asarray(a).astype(dt)
+    EwR, EwI = cast(Ew.real), cast(Ew.imag)
+    EhR, EhI = cast(Eh.real), cast(Eh.imag)
+    EtR, EtI = cast(Et.real), cast(Et.imag)
+    ItR, ItI = cast(It.real), cast(It.imag)
+    IhR, IhI = cast(Ih.real), cast(Ih.imag)
+    IwR, IwI = cast(Iw_re), cast(Iw_im)
+
+    f32 = jnp.float32
+
+    def mm(a, b, eq):
+        return jnp.einsum(eq, a.astype(dt), b, preferred_element_type=f32)
+
+    xb = x.astype(dt)
+    # W stage (real input)
+    Xr = mm(xb, EwR, "bthwc,wi->bthic")
+    Xi = mm(xb, EwI, "bthwc,wi->bthic")
+    # H stage
+    Yr = mm(Xr, EhR, "bthic,hj->btjic") - mm(Xi, EhI, "bthic,hj->btjic")
+    Yi = mm(Xr, EhI, "bthic,hj->btjic") + mm(Xi, EhR, "bthic,hj->btjic")
+    # T stage
+    Zr = mm(Yr, EtR, "btjic,tk->bkjic") - mm(Yi, EtI, "btjic,tk->bkjic")
+    Zi = mm(Yr, EtI, "btjic,tk->bkjic") + mm(Yi, EtR, "btjic,tk->bkjic")
+
+    def corners(z):
+        return jnp.stack(
+            [z[:, :m1, :m2], z[:, m1:, :m2], z[:, :m1, m2:], z[:, m1:, m2:]],
+            axis=1,
+        )
+
+    cr, ci = corners(Zr), corners(Zi)
+    wr = w_real.astype(dt)
+    wi = w_imag.astype(dt)
+    eq = "bkxyzi,kioxyz->bkxyzo"
+
+    def wmm(a, w):
+        return jnp.einsum(eq, a.astype(dt), w, preferred_element_type=f32)
+
+    outr = wmm(cr, wr) - wmm(ci, wi)
+    outi = wmm(cr, wi) + wmm(ci, wr)
+
+    def regrid(o):
+        top = jnp.concatenate([o[:, 0], o[:, 2]], axis=2)
+        bot = jnp.concatenate([o[:, 1], o[:, 3]], axis=2)
+        return jnp.concatenate([top, bot], axis=1)
+
+    gr, gi = regrid(outr), regrid(outi)
+    # inverse T
+    tr = mm(gr, ItR, "bkjic,kt->btjic") - mm(gi, ItI, "bkjic,kt->btjic")
+    ti = mm(gr, ItI, "bkjic,kt->btjic") + mm(gi, ItR, "bkjic,kt->btjic")
+    # inverse H
+    hr = mm(tr, IhR, "btjic,jh->bthic") - mm(ti, IhI, "btjic,jh->bthic")
+    hi = mm(tr, IhI, "btjic,jh->bthic") + mm(ti, IhR, "btjic,jh->bthic")
+    # inverse W (real output)
+    y = mm(hr, IwR, "bthic,iw->bthwc") + mm(hi, IwI, "bthic,iw->bthwc")
+    return y
