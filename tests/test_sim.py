@@ -114,3 +114,20 @@ def test_generate_controlled(tmp_path):
         with h5py.File(p, "r") as f:
             assert f["measured_data"]["u"].shape == (24, 32, 32)
             assert f["action"].shape == (24,)
+
+
+def test_foil_3d():
+    from realpdebench_tpu.sim.ns3d import (
+        Solver3DConfig, simulate_foil, wing_fraction,
+    )
+
+    cfg = Solver3DConfig(nx=32, ny=24, nz=12, dt=0.02)
+    body = np.asarray(wing_fraction(cfg))
+    assert body.shape == (32, 24, 12)
+    assert 0 < body.max() <= 1.0 and body.min() >= 0.0
+    assert body.sum() > 5  # the wing occupies some volume
+
+    frames = np.asarray(simulate_foil(cfg, jax.random.PRNGKey(0), n_frames=8,
+                                      substeps=1))
+    assert frames.shape == (8, 32, 24, 3)
+    assert np.isfinite(frames).all()
