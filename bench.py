@@ -65,7 +65,7 @@ def main():
     bundle = build_model(
         shapes=(SHAPE_IN, SHAPE_OUT),
         model_name="fno", modes1=4, modes2=12, modes3=16, n_layers=4, width=64,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", remat=False,  # bf16 activations fit 16GB
     )
     variables = bundle.init(jax.random.PRNGKey(0), x)
     params, model_state = bundle.split_variables(variables)

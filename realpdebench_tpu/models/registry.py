@@ -44,6 +44,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             shape_in=shape_in,
             shape_out=shape_out,
             compute_dtype=compute_dtype,
+            remat=bool(kwargs.get("remat", True)),
         )
         return ModelBundle(
             name="fno", module=module, mutable=("batch_stats",),
