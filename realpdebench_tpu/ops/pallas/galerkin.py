@@ -117,7 +117,16 @@ def galerkin_scores(k, v, k_scale, k_bias, v_scale, v_bias, eps=1e-5,
 def _scores_fwd_impl(k, v, k_scale, k_bias, v_scale, v_bias, eps, force_ref):
     B, h, n, d = k.shape
     platform = jax.devices()[0].platform
-    use_pallas = (not force_ref) and platform not in ("cpu",)
+    # Measured on v5e (B2·h4·N8192·d64): the XLA-fused einsum path runs this
+    # at 6.4 ms vs 128 ms for the Pallas kernel — XLA's batched-GEMM + LN
+    # fusion is already near-optimal for this shape, and the per-(B,h)
+    # pallas_call fan-out serializes. The kernel therefore stays OPT-IN
+    # (REALPDEBENCH_GALERKIN=pallas) as the scaffold for a future
+    # head-batched revision.
+    import os
+
+    want_pallas = os.environ.get("REALPDEBENCH_GALERKIN") == "pallas"
+    use_pallas = (not force_ref) and want_pallas and platform not in ("cpu",)
     interpret = False
     if not use_pallas:
         fn = jax.vmap(jax.vmap(_scores_ref, in_axes=(0, 0, 0, 0, 0, 0, None)),
