@@ -157,8 +157,14 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
             cfg.checkpoint_path, state, bundle
         )
         logging.info(f"Checkpoint {cfg.checkpoint_path} loaded (finetune)")
-    # params/opt state replicated across the mesh (batch is dp-sharded)
-    state = jax.device_put(state, mesh_ctx.replicated)
+    if mesh_ctx.mp_size > 1:
+        # tensor-parallel placement: weight output-channels over mp
+        from realpdebench_tpu.core.partitioning import shard_train_state
+
+        state = shard_train_state(state, mesh_ctx)
+    else:
+        # params/opt state replicated across the mesh (batch is dp-sharded)
+        state = jax.device_put(state, mesh_ctx.replicated)
 
     step_fn = make_train_step(bundle, normalizer, mesh_ctx,
                               grad_accum=int(cfg.get("grad_accum", 1) or 1))

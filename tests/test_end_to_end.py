@@ -109,3 +109,16 @@ def test_training_determinism(root, tmp_path):
         _, history = run_training(cfg, exp)
         losses.append(history["train_loss"])
     np.testing.assert_array_equal(losses[0], losses[1])
+
+
+def test_train_with_tensor_parallel_mesh(root, tmp_path):
+    """dp=4 × mp=2 training end to end on the virtual mesh."""
+    from realpdebench_tpu.train.loop import run_training
+
+    exp = str(tmp_path / "tp")
+    os.makedirs(exp, exist_ok=True)
+    cfg = _cfg(root, num_update=2, mesh_shape="dp=4,mp=2", train_batch_size=8)
+    state, history = run_training(cfg, exp)
+    assert np.isfinite(history["train_loss"]).all()
+    w = state.params["layer_0"]["spectral"]["w_real"]
+    assert len(w.sharding.device_set) >= 2  # stayed mp-sharded
