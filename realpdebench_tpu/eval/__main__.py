@@ -41,6 +41,13 @@ def run_eval(cfg, exp_path: str):
     # normalizer (numerical train) — reference eval.py:91-260
     cls = _dataset_class(cfg.dataset_name, use_hf)
     common = dict(dataset_name=cfg.dataset_name, dataset_root=cfg.dataset_root)
+    if use_hf:
+        common.update(
+            hf_auto_download=bool(cfg.get("hf_auto_download", False)),
+            hf_repo_id=cfg.get("hf_repo_id", "AI4Science-WestlakeU/RealPDEBench"),
+            hf_endpoint=cfg.get("hf_endpoint"),
+            hf_revision=cfg.get("hf_revision"),
+        )
     gen = {}
     for k in ("in_step", "out_step", "interval", "trunk_length", "n_sim_frame",
               "sub_s_real", "sub_s_numerical", "train_ratio",
