@@ -105,3 +105,31 @@ def test_allow_patterns():
     assert "combustion/hf_dataset/surrogate_train/**" in pats
     with pytest.raises(ValueError):
         build_allow_patterns(scenarios=[], what="all")
+
+
+def test_train_eval_on_hf_backend(converted_root, tmp_path):
+    """End-to-end train + eval with use_hf_dataset=True."""
+    from realpdebench_tpu.config import Config
+    from realpdebench_tpu.eval.__main__ import run_eval
+    from realpdebench_tpu.train.loop import run_training
+
+    cfg = Config(
+        exp_name="hf_e2e", seed=0,
+        results_path=os.path.join(converted_root, "results"),
+        dataset_name="cylinder", dataset_root=converted_root, num_workers=0,
+        normalizer="gaussian", mask_prob=0.1, noise_scale=0.0,
+        model_name="fno", modes1=2, modes2=3, modes3=3, n_layers=1, width=4,
+        scheduler="cosine", step_size=100, num_update=2,
+        train_batch_size=8, test_batch_size=8, lr=1e-3, clip_grad_norm=0.0,
+        N_autoregressive=2, N_plot=0, probe_diagnostic=False, N_plot_probe=0,
+        train_data_type="numerical", is_use_tb=False, use_hf_dataset=True,
+        mesh_shape="dp=8,mp=1", **KW,
+    )
+    exp = str(tmp_path / "exp")
+    os.makedirs(exp)
+    state, history = run_training(cfg, exp)
+    assert np.isfinite(history["train_loss"]).all()
+
+    results = run_eval(cfg.replace(checkpoint_path=os.path.join(exp, "ckpt")),
+                       str(tmp_path / "eval"))
+    assert np.isfinite(results["rel_l2_error"])
