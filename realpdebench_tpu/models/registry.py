@@ -75,6 +75,8 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             channels=shape_in[-1],
             in_time=shape_in[0],
             out_time=shape_out[0],
+            compute_dtype=compute_dtype,
+            remat=bool(kwargs.get("remat", True)),
         )
         return ModelBundle(
             name="unet", module=module, mutable=(), needs_train_flag=True,

@@ -111,6 +111,7 @@ class TemporalAttention(nn.Module):
     dim: int
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos_bias=None):
@@ -119,7 +120,8 @@ class TemporalAttention(nn.Module):
         t = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, H * W, T, C)
 
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(t)
+        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv",
+                       dtype=self.dtype)(t)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):  # [B, S, T, hidden] → [B, S, h, T, d]
@@ -140,7 +142,8 @@ class TemporalAttention(nn.Module):
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bshij,bshjd->bshid", attn, v)
         out = out.transpose(0, 1, 3, 2, 4).reshape(B, H * W, T, hidden)
-        out = nn.Dense(C, use_bias=False, name="to_out")(out)
+        out = nn.Dense(C, use_bias=False, name="to_out",
+                       dtype=self.dtype)(out)
         return out.reshape(B, H, W, T, C).transpose(0, 3, 1, 2, 4)
 
 
@@ -150,13 +153,15 @@ class SpatialAttention(nn.Module):
     dim: int
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, T, H, W, C = x.shape
         t = x.reshape(B, T, H * W, C)
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(t)
+        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv",
+                       dtype=self.dtype)(t)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):
@@ -171,7 +176,8 @@ class SpatialAttention(nn.Module):
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bthij,bthjd->bthid", attn, v)
         out = out.transpose(0, 1, 3, 2, 4).reshape(B, T, H * W, hidden)
-        out = nn.Dense(C, use_bias=False, name="to_out")(out)
+        out = nn.Dense(C, use_bias=False, name="to_out",
+                       dtype=self.dtype)(out)
         return out.reshape(B, T, H, W, C)
 
 
@@ -182,13 +188,15 @@ class SpatialLinearAttention(nn.Module):
     dim: int
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, T, H, W, C = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, kernel_size=(1, 1), use_bias=False,
-                      name="to_qkv")(x.reshape(B * T, H, W, C))
+                      name="to_qkv", dtype=self.dtype)(
+            x.reshape(B * T, H, W, C))
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):  # [BT, H, W, hidden] → [BT, h, d, N]
@@ -203,18 +211,20 @@ class SpatialLinearAttention(nn.Module):
         context = jnp.einsum("bhdn,bhen->bhde", k, v)
         out = jnp.einsum("bhde,bhdn->bhen", context, q)  # [BT, h, e, N]
         out = out.transpose(0, 3, 1, 2).reshape(B * T, H, W, hidden)
-        out = nn.Conv(C, kernel_size=(1, 1), name="to_out")(out)
+        out = nn.Conv(C, kernel_size=(1, 1), name="to_out",
+                      dtype=self.dtype)(out)
         return out.reshape(B, T, H, W, C)
 
 
 class Block(nn.Module):
     dim_out: int
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = nn.Conv(self.dim_out, kernel_size=(3, 3, 3), padding="SAME",
-                    name="proj")(x)
+                    name="proj", dtype=self.dtype)(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
@@ -226,19 +236,23 @@ class ResnetBlock(nn.Module):
     dim_out: int
     time_emb_dim: Optional[int] = None
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, time_emb=None):
         scale_shift = None
         if self.time_emb_dim is not None:
             h = nn.Dense(self.dim_out * 2, name="mlp")(nn.silu(time_emb))
-            h = h[:, None, None, None, :]
+            h = h[:, None, None, None, :].astype(self.dtype)
             scale_shift = jnp.split(h, 2, axis=-1)
-        h = Block(self.dim_out, self.groups, name="block1")(x, scale_shift)
-        h = Block(self.dim_out, self.groups, name="block2")(h)
+        h = Block(self.dim_out, self.groups, dtype=self.dtype,
+                  name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, dtype=self.dtype,
+                  name="block2")(h)
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, kernel_size=(1, 1, 1), name="res_conv")(x)
-        return h + x
+            x = nn.Conv(self.dim_out, kernel_size=(1, 1, 1), name="res_conv",
+                        dtype=self.dtype)(x)
+        return (h + x.astype(self.dtype))
 
 
 def sinusoidal_pos_emb(t, dim):
@@ -262,6 +276,7 @@ class Unet3d(nn.Module):
     out_time: int = 10
     use_sparse_linear_attn: bool = True
     remat: bool = True  # rematerialize blocks: activation memory ~one block
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -285,9 +300,9 @@ class Unet3d(nn.Module):
 
         ks = self.init_kernel_size
         x = nn.Conv(self.dim, kernel_size=(ks, ks, ks), padding="SAME",
-                    name="init_conv")(x)
+                    name="init_conv", dtype=self.compute_dtype)(x)
         x = x + TA(
-            self.dim, self.attn_heads, self.attn_dim_head,
+            self.dim, self.attn_heads, self.attn_dim_head, dtype=self.compute_dtype,
             name="init_temporal_attn",
         )(ChannelLayerNorm(self.dim, name="init_attn_norm")(x), pos_bias)
 
@@ -306,16 +321,17 @@ class Unet3d(nn.Module):
         hs = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= n_res - 1
-            x = RB(dim_out, time_dim, self.resnet_groups,
+            x = RB(dim_out, time_dim, self.resnet_groups, dtype=self.compute_dtype,
                             name=f"down_{ind}_block1")(x, t)
-            x = RB(dim_out, time_dim, self.resnet_groups,
+            x = RB(dim_out, time_dim, self.resnet_groups, dtype=self.compute_dtype,
                             name=f"down_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
                 x = x + SLA(
-                    dim_out, self.attn_heads, name=f"down_{ind}_spatial_attn"
+                    dim_out, self.attn_heads, dtype=self.compute_dtype,
+                    name=f"down_{ind}_spatial_attn"
                 )(ChannelLayerNorm(dim_out, name=f"down_{ind}_spatial_norm")(x))
             x = x + TA(
-                dim_out, self.attn_heads, self.attn_dim_head,
+                dim_out, self.attn_heads, self.attn_dim_head, dtype=self.compute_dtype,
                 name=f"down_{ind}_temporal_attn",
             )(ChannelLayerNorm(dim_out, name=f"down_{ind}_temporal_norm")(x),
               pos_bias)
@@ -324,34 +340,37 @@ class Unet3d(nn.Module):
                 x = nn.Conv(dim_out, kernel_size=(1, 4, 4),
                             strides=(1, 2, 2),
                             padding=((0, 0), (1, 1), (1, 1)),
-                            name=f"down_{ind}_downsample")(x)
+                            name=f"down_{ind}_downsample",
+                            dtype=self.compute_dtype)(x)
 
         mid_dim = dims[-1]
-        x = RB(mid_dim, time_dim, self.resnet_groups,
+        x = RB(mid_dim, time_dim, self.resnet_groups, dtype=self.compute_dtype,
                         name="mid_block1")(x, t)
         x = x + SA(
-            mid_dim, self.attn_heads, name="mid_spatial_attn"
+            mid_dim, self.attn_heads, dtype=self.compute_dtype,
+            name="mid_spatial_attn"
         )(ChannelLayerNorm(mid_dim, name="mid_spatial_norm")(x))
         x = x + TA(
-            mid_dim, self.attn_heads, self.attn_dim_head,
+            mid_dim, self.attn_heads, self.attn_dim_head, dtype=self.compute_dtype,
             name="mid_temporal_attn",
         )(ChannelLayerNorm(mid_dim, name="mid_temporal_norm")(x), pos_bias)
-        x = RB(mid_dim, time_dim, self.resnet_groups,
+        x = RB(mid_dim, time_dim, self.resnet_groups, dtype=self.compute_dtype,
                         name="mid_block2")(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind >= n_res - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = RB(dim_in, time_dim, self.resnet_groups,
+            x = RB(dim_in, time_dim, self.resnet_groups, dtype=self.compute_dtype,
                             name=f"up_{ind}_block1")(x, t)
-            x = RB(dim_in, time_dim, self.resnet_groups,
+            x = RB(dim_in, time_dim, self.resnet_groups, dtype=self.compute_dtype,
                             name=f"up_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
                 x = x + SLA(
-                    dim_in, self.attn_heads, name=f"up_{ind}_spatial_attn"
+                    dim_in, self.attn_heads, dtype=self.compute_dtype,
+                    name=f"up_{ind}_spatial_attn"
                 )(ChannelLayerNorm(dim_in, name=f"up_{ind}_spatial_norm")(x))
             x = x + TA(
-                dim_in, self.attn_heads, self.attn_dim_head,
+                dim_in, self.attn_heads, self.attn_dim_head, dtype=self.compute_dtype,
                 name=f"up_{ind}_temporal_attn",
             )(ChannelLayerNorm(dim_in, name=f"up_{ind}_temporal_norm")(x),
               pos_bias)
@@ -361,11 +380,12 @@ class Unet3d(nn.Module):
                 x = nn.ConvTranspose(
                     dim_in, kernel_size=(1, 4, 4), strides=(1, 2, 2),
                     padding=((0, 0), (2, 2), (2, 2)), transpose_kernel=True,
-                    name=f"up_{ind}_upsample",
+                    name=f"up_{ind}_upsample", dtype=self.compute_dtype,
                 )(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = RB(self.dim, None, self.resnet_groups,
+        x = RB(self.dim, None, self.resnet_groups, dtype=self.compute_dtype,
                         name="final_block")(x)
-        return nn.Conv(self.out_channels, kernel_size=(1, 1, 1),
-                       name="final_conv")(x)
+        out = nn.Conv(self.out_channels, kernel_size=(1, 1, 1),
+                       name="final_conv", dtype=self.compute_dtype)(x)
+        return out.astype(jnp.float32)
