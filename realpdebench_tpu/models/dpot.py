@@ -80,6 +80,7 @@ class AFNO2D(nn.Module):
     modes: int = 32
     hidden_size_factor: int = 1
     act: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -107,14 +108,17 @@ class AFNO2D(nn.Module):
         xr = xf[:, :k1, :k2].real
         xi = xf[:, :k1, :k2].imag
 
-        o1r = act(jnp.einsum("...bi,bio->...bo", xr, w1[0])
-                  - jnp.einsum("...bi,bio->...bo", xi, w1[1]) + b1[0])
-        o1i = act(jnp.einsum("...bi,bio->...bo", xi, w1[0])
-                  + jnp.einsum("...bi,bio->...bo", xr, w1[1]) + b1[1])
-        o2r = (jnp.einsum("...bi,bio->...bo", o1r, w2[0])
-               - jnp.einsum("...bi,bio->...bo", o1i, w2[1]) + b2[0])
-        o2i = (jnp.einsum("...bi,bio->...bo", o1i, w2[0])
-               + jnp.einsum("...bi,bio->...bo", o1r, w2[1]) + b2[1])
+        dt = self.dtype
+        f32 = jnp.float32
+
+        def mm(a, w):
+            return jnp.einsum("...bi,bio->...bo", a.astype(dt), w.astype(dt),
+                              preferred_element_type=f32)
+
+        o1r = act(mm(xr, w1[0]) - mm(xi, w1[1]) + b1[0])
+        o1i = act(mm(xi, w1[0]) + mm(xr, w1[1]) + b1[1])
+        o2r = mm(o1r, w2[0]) - mm(o1i, w2[1]) + b2[0]
+        o2i = mm(o1i, w2[0]) + mm(o1r, w2[1]) + b2[1]
 
         out_f = jnp.zeros((B, H, Wr, self.num_blocks, bs), jnp.complex64)
         out_f = out_f.at[:, :k1, :k2].set(o2r + 1j * o2i)
@@ -130,6 +134,7 @@ class DPOTBlock(nn.Module):
     mlp_ratio: float = 1.0
     act: str = "gelu"
     double_skip: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -137,15 +142,17 @@ class DPOTBlock(nn.Module):
         residual = x
         h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm1")(x)
         h = AFNO2D(self.width, self.n_blocks, self.modes, act=self.act,
-                   name="filter")(h)
+                   dtype=self.dtype, name="filter")(h)
         if self.double_skip:
             h = h + residual
             residual = h
         h2 = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm2")(h)
         hid = int(self.width * self.mlp_ratio)
-        h2 = nn.Conv(hid, kernel_size=(1, 1), name="mlp1")(h2)
+        h2 = nn.Conv(hid, kernel_size=(1, 1), name="mlp1",
+                     dtype=self.dtype)(h2)
         h2 = ACT[self.act](h2)
-        h2 = nn.Conv(self.width, kernel_size=(1, 1), name="mlp2")(h2)
+        h2 = nn.Conv(self.width, kernel_size=(1, 1), name="mlp2",
+                     dtype=self.dtype)(h2).astype(jnp.float32)
         return h2 + residual
 
 
@@ -166,6 +173,7 @@ class DPOTNet(nn.Module):
     normalize: bool = False
     act: str = "gelu"
     time_agg: str = "exp_mlp"
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -236,7 +244,7 @@ class DPOTNet(nn.Module):
         for i in range(self.depth):
             h = DPOTBlock(
                 self.embed_dim, self.n_blocks, self.modes, self.mlp_ratio,
-                self.act, name=f"block_{i}",
+                self.act, dtype=self.compute_dtype, name=f"block_{i}",
             )(h)
 
         # classification head exists in pretrained checkpoints; computed and
@@ -284,6 +292,7 @@ class DPOT(nn.Module):
     act: str = "gelu"
     time_agg: str = "exp_mlp"
     n_cls: int = 1
+    compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.dpot_model = DPOTNet(
@@ -294,6 +303,7 @@ class DPOT(nn.Module):
             out_layer_dim=self.out_layer_dim, depth=self.depth,
             modes=self.modes, mlp_ratio=self.mlp_ratio, n_cls=self.n_cls,
             normalize=self.normalize, act=self.act, time_agg=self.time_agg,
+            compute_dtype=self.compute_dtype,
         )
 
     def _single_window(self, x):
