@@ -2,16 +2,14 @@
 """Benchmark: cylinder/FNO train step throughput + rollout frames/sec on TPU.
 
 Workload matches the reference's headline configuration
-(`configs/cylinder/fno.yaml`: batch 32, window (20, 64, 64, 3), modes
-(4, 12, 16), 4 layers, width 64 — see BASELINE.md) with synthetic data, so no
-dataset download is needed. Prints ONE JSON line:
+(`configs/cylinder/fno.yaml`: batch 32, window (20, 64, 128, 3) — the real
+cylinder grid, modes (4, 12, 16), 4 layers, width 64 — see BASELINE.md) with
+device-synthesized data. Prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-``vs_baseline`` compares against an estimated A100 PyTorch reference step rate
-(the repo publishes no numbers — BASELINE.md; the estimate, ~6 train steps/s
-for this workload on A100, is derived from the reference's wall-clock logging
-granularity and typical torch FNO3d throughput). Target is ≥5× (BASELINE.md).
+``vs_baseline`` compares against the documented A100 torch estimate below
+(the repo publishes no numbers — BASELINE.md). Target is ≥5× on v5e-8.
 """
 
 import json
@@ -112,6 +110,8 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_rep):
         pred, _, _ = rollout(eval_vars, xr, yr, key)
+        # chain iterations so an async runtime cannot overlap them
+        xr = xr + 0.0 * pred[:, : SHAPE_IN[0]]
     jax.block_until_ready(pred)
     roll_dt = (time.perf_counter() - t0) / n_rep
     frames_per_sec = EVAL_BATCH * N_AUTOREGRESSIVE * SHAPE_OUT[0] / roll_dt
