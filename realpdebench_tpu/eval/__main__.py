@@ -64,7 +64,8 @@ def run_eval(cfg, exp_path: str):
     norm_ds = cls(mode="train", dataset_type="numerical", **common, **gen)
 
     loader = DataLoader(test_ds, batch_size=int(cfg.test_batch_size),
-                        num_workers=int(cfg.get("num_workers", 4)))
+                        num_workers=int(cfg.get("num_workers", 4)),
+                        pad_last=True)
     normalizer = build_normalizer(cfg.get("normalizer", "gaussian"), norm_ds)
     bundle = build_model(train_dataset=train_ds, **cfg.to_dict())
 
@@ -100,7 +101,9 @@ def run_eval(cfg, exp_path: str):
 
     pred_list, target_list, probe_errors = [], [], []
     nmse_sum, n_batches = 0.0, 0
-    for batch_idx, (x, y) in enumerate(loader):
+    for batch_idx, batch in enumerate(loader):
+        x, y = batch[0], batch[1]
+        n_real = int(batch[2].sum()) if len(batch) > 2 else x.shape[0]
         rng, k = jax.random.split(rng)
         pred_norm, xn, yn = rollout(variables, x, y, k)
         nmse, pred_phys, target_phys = finalize_rollout(
@@ -108,7 +111,8 @@ def run_eval(cfg, exp_path: str):
         )
         nmse_sum += float(nmse)
         n_batches += 1
-        pred_np, target_np = np.asarray(pred_phys), np.asarray(target_phys)
+        pred_np = np.asarray(pred_phys)[:n_real]
+        target_np = np.asarray(target_phys)[:n_real]
 
         if batch_idx == 0 and int(cfg.get("N_plot", 0)) > 0:
             plot_result(pred_np, target_np, exp_path, int(cfg.N_plot),

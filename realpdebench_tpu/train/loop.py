@@ -118,9 +118,11 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
         train_ds, batch_size=global_bs, shuffle=True, drop_last=True,
         num_workers=int(cfg.get("num_workers", 4)), seed=int(cfg.get("seed", 0)),
     )
+    # pad_last keeps every val batch the same shape (one compiled eval step);
+    # padded rows are dropped host-side before the metric sweep
     val_loader = DataLoader(
         val_ds, batch_size=int(cfg.test_batch_size), shuffle=False,
-        num_workers=int(cfg.get("num_workers", 4)),
+        num_workers=int(cfg.get("num_workers", 4)), pad_last=True,
     )
 
     normalizer = build_normalizer(cfg.get("normalizer", "gaussian"), norm_ds)
@@ -259,12 +261,13 @@ def run_validation(state, bundle, eval_fn, val_loader, c, rng):
     preds, targets = [], []
     for batch in val_loader:
         x, y = batch[0], batch[1]
+        n_real = int(batch[2].sum()) if len(batch) > 2 else x.shape[0]
         rng, k = jax.random.split(rng)
         nmse, pred_phys, target_phys = eval_fn(variables, x, y, k)
         nmse_sum += float(nmse)
         n_batches += 1
-        preds.append(np.asarray(pred_phys))
-        targets.append(np.asarray(target_phys))
+        preds.append(np.asarray(pred_phys)[:n_real])
+        targets.append(np.asarray(target_phys)[:n_real])
     vals = eval_metrics(
         np.concatenate(preds, axis=0), np.concatenate(targets, axis=0), c
     )
