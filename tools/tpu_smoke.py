@@ -7,8 +7,12 @@ Usage: python -m realpdebench_tpu.tools.tpu_smoke  (from repo root: python tools
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
