@@ -51,7 +51,12 @@ class BranchNet(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5)(x)
             x = nn.relu(x)
-            x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+            # Clamp the pool window to the axis size: identical to a plain
+            # 2×2×2 pool at reference shapes (all dims ≥ 2 here), but keeps
+            # tiny debug shapes well-defined where torch's MaxPool3d(2)
+            # would reduce a size-1 axis to size 0 and error.
+            ws = tuple(min(2, s) for s in x.shape[1:4])
+            x = nn.max_pool(x, window_shape=ws, strides=ws)
         x = nn.Conv(256, kernel_size=(3, 3, 3), padding="SAME")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(x)

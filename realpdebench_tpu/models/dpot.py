@@ -120,9 +120,13 @@ class AFNO2D(nn.Module):
         o2r = mm(o1r, w2[0]) - mm(o1i, w2[1]) + b2[0]
         o2i = mm(o1i, w2[0]) + mm(o1r, w2[1]) + b2[1]
 
-        out_f = jnp.zeros((B, H, Wr, self.num_blocks, bs), jnp.complex64)
-        out_f = out_f.at[:, :k1, :k2].set(o2r + 1j * o2i)
-        out_f = out_f.reshape(B, H, Wr, C)
+        # Assemble the spectrum from real/imag planes (complex scatters and
+        # literal-1j arithmetic do not lower on some TPU runtimes).
+        fr = jnp.zeros((B, H, Wr, self.num_blocks, bs), f32)
+        fi = jnp.zeros((B, H, Wr, self.num_blocks, bs), f32)
+        fr = fr.at[:, :k1, :k2].set(o2r.astype(f32))
+        fi = fi.at[:, :k1, :k2].set(o2i.astype(f32))
+        out_f = jax.lax.complex(fr, fi).reshape(B, H, Wr, C)
         out = jnp.fft.irfft2(out_f, s=(H, W), axes=(1, 2), norm="ortho")
         return out + x_orig
 

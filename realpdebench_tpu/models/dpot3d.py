@@ -66,8 +66,11 @@ class AFNO3D(nn.Module):
         o2i = (jnp.einsum("...bi,bio->...bo", o1i, w2[0])
                + jnp.einsum("...bi,bio->...bo", o1r, w2[1]) + b2[1])
 
-        out_f = jnp.zeros(xf.shape, jnp.complex64)
-        out_f = out_f.at[:, :k1, :k2, :k3].set(o2r + 1j * o2i)
+        # Real/imag planes + lax.complex (complex scatters and literal-1j
+        # arithmetic do not lower on some TPU runtimes).
+        fr = jnp.zeros(xf.shape, jnp.float32).at[:, :k1, :k2, :k3].set(o2r)
+        fi = jnp.zeros(xf.shape, jnp.float32).at[:, :k1, :k2, :k3].set(o2i)
+        out_f = jax.lax.complex(fr, fi)
         out_f = out_f.reshape(B, xf.shape[1], xf.shape[2], xf.shape[3], C)
         out = jnp.fft.irfftn(out_f, s=(H, W, L), axes=(1, 2, 3), norm="ortho")
         return out + x_orig

@@ -78,8 +78,8 @@ class SparseKernelFT3d(nn.Module):
         l2 = min(modes, Ny // 2 + 1)
         l3 = min(modes, T // 2 + 1)
 
-        w = (wr + 1j * wi).astype(jnp.complex64)  # [4, ck2, ck2, m, m, m]
-        w = w[:, :, :, :l1, :l2, :l3]
+        wrc = wr[:, :, :, :l1, :l2, :l3]
+        wic = wi[:, :, :, :l1, :l2, :l3]
 
         corners = jnp.stack(
             [
@@ -90,15 +90,27 @@ class SparseKernelFT3d(nn.Module):
             ],
             axis=1,
         )  # [B, 4, l1, l2, l3, ck2]
-        out_c = jnp.einsum("bkxyzi,kioxyz->bkxyzo", corners, w,
-                           preferred_element_type=jnp.complex64)
+        # Complex contraction unrolled into real einsums: complex dots do not
+        # lower on some TPU runtimes, and real GEMMs are the MXU-native form
+        # anyway (same trick as ops/spectral.py's DFT path).
+        xr, xi = corners.real, corners.imag
+        out_r = (jnp.einsum("bkxyzi,kioxyz->bkxyzo", xr, wrc)
+                 - jnp.einsum("bkxyzi,kioxyz->bkxyzo", xi, wic))
+        out_i = (jnp.einsum("bkxyzi,kioxyz->bkxyzo", xr, wic)
+                 + jnp.einsum("bkxyzi,kioxyz->bkxyzo", xi, wrc))
 
         Tr = T // 2 + 1
-        out_ft = jnp.zeros((B, Nx, Ny, Tr, ck2), jnp.complex64)
-        out_ft = out_ft.at[:, :l1, :l2, :l3, :].set(out_c[:, 0])
-        out_ft = out_ft.at[:, -l1:, :l2, :l3, :].set(out_c[:, 1])
-        out_ft = out_ft.at[:, :l1, -l2:, :l3, :].set(out_c[:, 2])
-        out_ft = out_ft.at[:, -l1:, -l2:, :l3, :].set(out_c[:, 3])
+        ftr = jnp.zeros((B, Nx, Ny, Tr, ck2), jnp.float32)
+        fti = jnp.zeros((B, Nx, Ny, Tr, ck2), jnp.float32)
+        for j, idx in enumerate((
+            (slice(None), slice(None, l1), slice(None, l2), slice(None, l3)),
+            (slice(None), slice(-l1, None), slice(None, l2), slice(None, l3)),
+            (slice(None), slice(None, l1), slice(-l2, None), slice(None, l3)),
+            (slice(None), slice(-l1, None), slice(-l2, None), slice(None, l3)),
+        )):
+            ftr = ftr.at[idx].set(out_r[:, j])
+            fti = fti.at[idx].set(out_i[:, j])
+        out_ft = jax.lax.complex(ftr, fti)
 
         out = jnp.fft.irfftn(out_ft, s=(Nx, Ny, T), axes=(1, 2, 3))
         out = nn.relu(out)

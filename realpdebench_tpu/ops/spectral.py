@@ -181,18 +181,23 @@ def truncated_spectral_conv3d_dft(x, w_real, w_imag):
 def truncated_spectral_conv3d(x, w_real, w_imag, impl: str | None = None,
                               compute_dtype=jnp.float32):
     """Public entry. Implementations:
-      * 'dft'  (default) — exact truncated-DFT matmuls, f32;
-      * 'fft'  — full rfftn/irfftn path (env REALPDEBENCH_SPECTRAL=fft);
-      * 'dft' with compute_dtype=bfloat16 — real-arithmetic bf16 matmuls
-        with f32 accumulation (training-quality fast path)."""
+      * 'dft'  (default) — truncated-DFT with complex math unrolled into REAL
+        matmuls (f32 or bf16 per ``compute_dtype``, f32 accumulation).
+        Real arithmetic is deliberate: some TPU runtimes (the axon
+        remote-compile path here) cannot lower complex dots, and real GEMMs
+        are what the MXU natively runs anyway. Exact vs FFT at f32.
+      * 'fft'      — full rfftn/irfftn (env REALPDEBENCH_SPECTRAL=fft);
+      * 'dft_c64'  — the complex-einsum DFT variant (kept for testing)."""
     import os
 
     impl = impl or os.environ.get("REALPDEBENCH_SPECTRAL", "dft")
     if impl == "fft":
         return truncated_spectral_conv3d_fft(x, w_real, w_imag)
-    if compute_dtype == jnp.bfloat16:
-        return truncated_spectral_conv3d_dft_lowp(x, w_real, w_imag)
-    return truncated_spectral_conv3d_dft(x, w_real, w_imag)
+    if impl == "dft_c64":
+        return truncated_spectral_conv3d_dft(x, w_real, w_imag)
+    return truncated_spectral_conv3d_dft_lowp(
+        x, w_real, w_imag, compute_dtype=compute_dtype
+    )
 
 
 def truncated_spectral_conv3d_dft_lowp(x, w_real, w_imag,

@@ -50,7 +50,8 @@ MODELS = {
 }
 
 
-def main():
+def run_one(name: str):
+    """Run a single model's smoke entry (used in subprocess isolation)."""
     from realpdebench_tpu.config import Config
     from realpdebench_tpu.data.normalizer import IdentityNormalizer
     from realpdebench_tpu.models.registry import build_model
@@ -61,9 +62,18 @@ def main():
     key = jax.random.PRNGKey(0)
     x = jax.jit(lambda k: jax.random.normal(k, (4, *SH_IN), jnp.float32))(key)
     y = jax.jit(lambda k: jax.random.normal(k, (4, *SH_OUT), jnp.float32))(key)
-    results = {}
-    for name, kw in MODELS.items():
-        t0 = time.time()
+
+    if name == "dmd":
+        bundle = build_model(shapes=(SH_IN, SH_OUT), model_name="dmd",
+                             n_modes=3, n_predict=4, input_feature=2,
+                             N_autoregressive=1)
+        pred = bundle.predict({"params": {}}, np.asarray(jax.device_get(x)))
+        ok = np.isfinite(pred).all()
+        return ("OK" if ok else "NONFINITE", 0.0, float(pred.sum()))
+
+    kw = MODELS[name]
+    t0 = time.time()
+    if True:
         try:
             bundle = build_model(shapes=(SH_IN, SH_OUT), **kw)
             v = bundle.init(jax.random.PRNGKey(0),
@@ -83,27 +93,38 @@ def main():
             jax.block_until_ready(pred)
             pv = float(np.asarray(jnp.sum(pred)))
             ok = np.isfinite(lv) and np.isfinite(pv)
-            results[name] = (
-                "OK" if ok else "NONFINITE",
-                round(time.time() - t0, 1), lv,
-            )
+            return ("OK" if ok else "NONFINITE",
+                    round(time.time() - t0, 1), lv)
         except Exception as e:
-            results[name] = ("FAIL", round(time.time() - t0, 1),
-                             f"{type(e).__name__}: {str(e)[:60]}")
             traceback.print_exc()
-        print(f"{name:24s} {results[name]}", flush=True)
+            return ("FAIL", round(time.time() - t0, 1),
+                    f"{type(e).__name__}: {str(e)[:60]}")
 
-    # DMD (host-side)
-    try:
-        bundle = build_model(shapes=(SH_IN, SH_OUT), model_name="dmd",
-                             n_modes=3, n_predict=4, input_feature=2,
-                             N_autoregressive=1)
-        pred = bundle.predict({"params": {}}, np.asarray(x))
-        results["dmd"] = ("OK" if np.isfinite(pred).all() else "NONFINITE",
-                          0.0, float(pred.sum()))
-    except Exception as e:
-        results["dmd"] = ("FAIL", 0.0, str(e)[:60])
-    print(f"{'dmd':24s} {results['dmd']}", flush=True)
+
+def main(only=None):
+    """Each model runs in its own subprocess: an async backend failure on
+    this runtime poisons every later dispatch in the process, so in-process
+    iteration turns one failure into a full-matrix cascade."""
+    import subprocess
+
+    names = list(MODELS) + ["dmd"]
+    if only:
+        names = [n for n in names if n in only]
+    results = {}
+    for name in names:
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--model", name],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if line:
+            results[name] = eval(line[-1][7:])  # trusted: our own subprocess
+        else:
+            tail = (proc.stdout + proc.stderr).strip().splitlines()[-3:]
+            results[name] = ("FAIL", round(time.time() - t0, 1),
+                             " | ".join(tail)[:120])
+        print(f"{name:24s} {results[name]}", flush=True)
 
     n_ok = sum(1 for r in results.values() if r[0] == "OK")
     print(f"\n{n_ok}/{len(results)} models OK on "
@@ -112,4 +133,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset for the matrix run")
+    a = ap.parse_args()
+    if a.model:
+        print("RESULT", run_one(a.model), flush=True)
+    else:
+        main(only=a.only.split(",") if a.only else None)
