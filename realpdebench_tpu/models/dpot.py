@@ -56,10 +56,16 @@ def fft_resize_2d(x, out_size):
     top1 = min((H + 1) // 2, (Ho + 1) // 2)
     top2 = min(f.shape[-1], Wo // 2 + 1)
     bot1 = min(H // 2, Ho // 2)
-    f_z = jnp.zeros((*xc.shape[:-2], Ho, Wo // 2 + 1), f.dtype)
-    f_z = f_z.at[..., :top1, :top2].set(f[..., :top1, :top2])
-    f_z = f_z.at[..., -bot1:, :top2].set(f[..., -bot1:, :top2])
-    out = jnp.fft.irfft2(f_z, s=(Ho, Wo)) * (Ho / H) * (Wo / W)
+    # scatter on real/imag planes (complex scatters do not lower on some TPU
+    # runtimes); complex exists only at the FFT boundary
+    zr = jnp.zeros((*xc.shape[:-2], Ho, Wo // 2 + 1), jnp.float32)
+    zi = zr
+    for sl in ((..., slice(None, top1), slice(None, top2)),
+               (..., slice(-bot1, None), slice(None, top2))):
+        zr = zr.at[sl].set(f[sl].real)
+        zi = zi.at[sl].set(f[sl].imag)
+    out = jnp.fft.irfft2(jax.lax.complex(zr, zi), s=(Ho, Wo)) \
+        * (Ho / H) * (Wo / W)
     return jnp.moveaxis(out, 1, -1)
 
 
@@ -100,13 +106,17 @@ class AFNO2D(nn.Module):
         x_orig = x
         xf = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="ortho")
         Wr = xf.shape[2]
-        xf = xf.reshape(B, H, Wr, self.num_blocks, bs)
+        # split into real/imag BEFORE any reshape: complex reshapes (like
+        # complex dots) fail to lower on some TPU runtimes, so all shaping
+        # happens on real planes and complex exists only at the FFT boundary
+        xr_full = xf.real.reshape(B, H, Wr, self.num_blocks, bs)
+        xi_full = xf.imag.reshape(B, H, Wr, self.num_blocks, bs)
 
         km = self.modes
         k1 = min(km, H)
         k2 = min(km, Wr)
-        xr = xf[:, :k1, :k2].real
-        xi = xf[:, :k1, :k2].imag
+        xr = xr_full[:, :k1, :k2]
+        xi = xi_full[:, :k1, :k2]
 
         dt = self.dtype
         f32 = jnp.float32
@@ -126,7 +136,8 @@ class AFNO2D(nn.Module):
         fi = jnp.zeros((B, H, Wr, self.num_blocks, bs), f32)
         fr = fr.at[:, :k1, :k2].set(o2r.astype(f32))
         fi = fi.at[:, :k1, :k2].set(o2i.astype(f32))
-        out_f = jax.lax.complex(fr, fi).reshape(B, H, Wr, C)
+        out_f = jax.lax.complex(fr.reshape(B, H, Wr, C),
+                                fi.reshape(B, H, Wr, C))
         out = jnp.fft.irfft2(out_f, s=(H, W), axes=(1, 2), norm="ortho")
         return out + x_orig
 

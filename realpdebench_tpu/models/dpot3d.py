@@ -48,14 +48,18 @@ class AFNO3D(nn.Module):
 
         x_orig = x
         xf = jnp.fft.rfftn(x.astype(jnp.float32), axes=(1, 2, 3), norm="ortho")
-        xf = xf.reshape(B, xf.shape[1], xf.shape[2], xf.shape[3],
-                        self.num_blocks, bs)
+        S1, S2, S3 = xf.shape[1], xf.shape[2], xf.shape[3]
+        # real/imag split before reshaping: complex reshapes do not lower on
+        # some TPU runtimes — keep complex only at the FFT boundary
+        bshape = (B, S1, S2, S3, self.num_blocks, bs)
+        xr_full = xf.real.reshape(bshape)
+        xi_full = xf.imag.reshape(bshape)
 
-        k1 = min(self.modes, xf.shape[1])
-        k2 = min(self.modes, xf.shape[2])
-        k3 = min(self.temporal_modes, xf.shape[3])
-        xr = xf[:, :k1, :k2, :k3].real
-        xi = xf[:, :k1, :k2, :k3].imag
+        k1 = min(self.modes, S1)
+        k2 = min(self.modes, S2)
+        k3 = min(self.temporal_modes, S3)
+        xr = xr_full[:, :k1, :k2, :k3]
+        xi = xi_full[:, :k1, :k2, :k3]
 
         o1r = act(jnp.einsum("...bi,bio->...bo", xr, w1[0])
                   - jnp.einsum("...bi,bio->...bo", xi, w1[1]) + b1[0])
@@ -68,10 +72,10 @@ class AFNO3D(nn.Module):
 
         # Real/imag planes + lax.complex (complex scatters and literal-1j
         # arithmetic do not lower on some TPU runtimes).
-        fr = jnp.zeros(xf.shape, jnp.float32).at[:, :k1, :k2, :k3].set(o2r)
-        fi = jnp.zeros(xf.shape, jnp.float32).at[:, :k1, :k2, :k3].set(o2i)
-        out_f = jax.lax.complex(fr, fi)
-        out_f = out_f.reshape(B, xf.shape[1], xf.shape[2], xf.shape[3], C)
+        fr = jnp.zeros(bshape, jnp.float32).at[:, :k1, :k2, :k3].set(o2r)
+        fi = jnp.zeros(bshape, jnp.float32).at[:, :k1, :k2, :k3].set(o2i)
+        out_f = jax.lax.complex(fr.reshape(B, S1, S2, S3, C),
+                                fi.reshape(B, S1, S2, S3, C))
         out = jnp.fft.irfftn(out_f, s=(H, W, L), axes=(1, 2, 3), norm="ortho")
         return out + x_orig
 
