@@ -120,10 +120,13 @@ def _metrics_chunk(pred, target, *, c: int):
         ke_error = jnp.mean(jnp.abs(kinetic_energy(pred) - kinetic_energy(target)))
 
     # --- radially-binned Fourier errors (f32 FFT; complex64) ---
+    # |F(p) - F(t)|² = F(p-t) real²+imag² — linearity saves one FFT, and the
+    # real-plane arithmetic avoids complex subtract/abs, which fail to lower
+    # on some TPU runtimes (complex survives only at the FFT boundary)
     bins, K, i_low, i_high = _radial_bins(t, h, w)
-    pred_F = jnp.fft.fftn(pred, axes=(1, 2, 3))
+    diff_F = jnp.fft.fftn(pred - target, axes=(1, 2, 3))
     target_F = jnp.fft.fftn(target, axes=(1, 2, 3))
-    err_power = jnp.abs(pred_F - target_F) ** 2
+    err_power = diff_F.real**2 + diff_F.imag**2
     err_binned = _bin_octant(err_power, bins, K)  # [b, K, c]
     err_F = jnp.sqrt(jnp.mean(err_binned, axis=0)) / (t * h * w)  # [K, c]
 
@@ -132,7 +135,7 @@ def _metrics_chunk(pred, target, *, c: int):
     high_f_error = err_F[i_high:].mean()
     f_error = err_F.mean()
 
-    norm_power = jnp.abs(target_F) ** 2
+    norm_power = target_F.real**2 + target_F.imag**2
     norm_binned = _bin_octant(norm_power, bins, K)
     norm_F = jnp.sqrt(jnp.mean(norm_binned, axis=0)) / (t * h * w)
 
@@ -142,11 +145,9 @@ def _metrics_chunk(pred, target, *, c: int):
     rel_high_f_error = rel[i_high:].mean()
 
     # --- frequency error of the spatially-summed signal (metrics.py:107-111) ---
-    sum_pred = jnp.sum(pred, axis=(2, 3, 4))
-    sum_target = jnp.sum(target, axis=(2, 3, 4))
-    freq_error = jnp.mean(
-        jnp.abs(jnp.fft.fft(sum_pred, axis=1) - jnp.fft.fft(sum_target, axis=1))
-    )
+    sum_diff = jnp.sum(pred - target, axis=(2, 3, 4))
+    diff_f = jnp.fft.fft(sum_diff, axis=1)
+    freq_error = jnp.mean(jnp.sqrt(diff_f.real**2 + diff_f.imag**2))
 
     return jnp.stack(
         [
