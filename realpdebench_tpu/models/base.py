@@ -48,6 +48,8 @@ class ModelBundle:
     predict_fn: Optional[Callable] = None
     # Non-trainable host models (DMD) bypass the train loop entirely
     trainable: bool = True
+    _predict_jit: Any = dataclasses.field(default=None, repr=False,
+                                          compare=False)
 
     def init(self, rng, sample_x):
         if not self.trainable:
@@ -70,8 +72,17 @@ class ModelBundle:
             return self.predict_fn(self.module, variables, x, rng)
         if not self.trainable:  # host-side model (DMD): plain call, no jit
             return jnp.asarray(self.module(x))
-        kwargs = {"train": False} if self.needs_train_flag else {}
-        return self.module.apply(variables, x, **kwargs)
+        # jit the eval forward: one fused program instead of op-by-op eager
+        # dispatch (faster, and some TPU runtimes only support certain ops
+        # inside compiled programs). Cached per bundle; re-traces only on
+        # shape change.
+        if self._predict_jit is None:
+            kwargs = {"train": False} if self.needs_train_flag else {}
+            apply = self.module.apply
+            self._predict_jit = jax.jit(
+                lambda v, xx: apply(v, xx, **kwargs)
+            )
+        return self._predict_jit(variables, x)
 
     def _rngs(self, rng, train):
         if self.stochastic and train and rng is not None:
