@@ -183,9 +183,9 @@ def truncated_spectral_conv3d(x, w_real, w_imag, impl: str | None = None,
     """Public entry. Implementations:
       * 'dft'  (default) — truncated-DFT with complex math unrolled into REAL
         matmuls (f32 or bf16 per ``compute_dtype``, f32 accumulation).
-        Real arithmetic is deliberate: some TPU runtimes (the axon
-        remote-compile path here) cannot lower complex dots, and real GEMMs
-        are what the MXU natively runs anyway. Exact vs FFT at f32.
+        Real arithmetic is deliberate: some TPU runtimes cannot lower
+        complex dots, and real GEMMs are what the MXU natively runs
+        anyway. Exact vs FFT at f32.
       * 'fft'      — full rfftn/irfftn (env REALPDEBENCH_SPECTRAL=fft);
       * 'dft_c64'  — the complex-einsum DFT variant (kept for testing)."""
     import os
