@@ -1,0 +1,107 @@
+"""Profile the headline train step on TPU and print the device-op breakdown.
+
+Captures a 3-step `jax.profiler.trace` (works through remote-compile
+tunnels), then aggregates the Chrome-trace device lane by op name. Use the
+printed `metadata.op_name` of hot fusions (grep the compiled HLO from
+`--dump-hlo`) to map fusions back to model source lines.
+
+Usage: python tools/profile_step.py [--logdir DIR] [--dump-hlo PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHAPE = (20, 64, 128, 3)
+BATCH = 32
+
+
+def build_step():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realpdebench_tpu.config import Config
+    from realpdebench_tpu.data.normalizer import IdentityNormalizer
+    from realpdebench_tpu.models.registry import build_model
+    from realpdebench_tpu.train.train_step import (
+        TrainState, build_optimizer, make_train_step,
+    )
+
+    b = build_model(shapes=(SHAPE, SHAPE), model_name="fno", modes1=4,
+                    modes2=12, modes3=16, n_layers=4, width=64,
+                    compute_dtype="bfloat16", remat=False)
+    v = b.init(jax.random.PRNGKey(0), np.zeros((1, *SHAPE), np.float32))
+    p, ms = b.split_variables(v)
+    cfg = Config(lr=1e-4, scheduler="cosine", num_update=100,
+                 clip_grad_norm=0.0)
+    state = TrainState.create(p, ms, build_optimizer(cfg))
+    state = jax.device_put(state, jax.devices()[0])
+    step = make_train_step(b, IdentityNormalizer(), grad_accum=4)
+    k = jax.random.PRNGKey(0)
+    x = jax.jit(lambda k: jax.random.normal(k, (BATCH, *SHAPE),
+                                            jnp.float32))(k)
+    y = jax.jit(lambda k: jax.random.normal(k, (BATCH, *SHAPE),
+                                            jnp.float32))(jax.random.PRNGKey(1))
+    return step, state, x, y, k
+
+
+def summarize(logdir: str, top: int = 25):
+    traces = sorted(glob.glob(os.path.join(
+        logdir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not traces:
+        print("no trace found under", logdir)
+        return
+    with gzip.open(traces[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, n in pids.items() if "TPU" in n.upper()}
+    tot, cnt = collections.Counter(), collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and (not dev or e.get("pid") in dev):
+            tot[e.get("name", "")] += e.get("dur", 0)
+            cnt[e.get("name", "")] += 1
+    print(f"device op time: {sum(tot.values()) / 1e3:.1f} ms "
+          f"({sum(cnt.values())} events)")
+    for name, d in tot.most_common(top):
+        print(f"{d / 1e3:9.2f} ms {cnt[name]:5d}x  {name[:100]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logdir", default="/tmp/jax_trace")
+    ap.add_argument("--dump-hlo", default=None,
+                    help="also write the compiled HLO text here")
+    a = ap.parse_args()
+
+    import jax
+
+    step, state, x, y, k = build_step()
+    if a.dump_hlo:
+        txt = jax.jit(step).lower(state, x, y, k).compile().as_text()
+        with open(a.dump_hlo, "w") as f:
+            f.write(txt)
+        print("HLO written:", a.dump_hlo, len(txt), "chars")
+    state, loss = step(state, x, y, k)  # compile + warm
+    state, loss = step(state, x, y, k)
+    print("warm loss:", float(jax.device_get(loss)))
+    with jax.profiler.trace(a.logdir):
+        for _ in range(3):
+            state, loss = step(state, x, y, k)
+        _ = float(jax.device_get(loss))
+    summarize(a.logdir)
+
+
+if __name__ == "__main__":
+    main()
