@@ -225,9 +225,12 @@ def truncated_spectral_conv3d_dft_lowp(x, w_real, w_imag,
         return jnp.einsum(eq, a.astype(dt), b, preferred_element_type=f32)
 
     xb = x.astype(dt)
-    # W stage (real input)
-    Xr = mm(xb, EwR, "bthwc,wi->bthic")
-    Xi = mm(xb, EwI, "bthwc,wi->bthic")
+    # W stage (real input): one GEMM against [EwR | EwI] so the full-size
+    # input is read from HBM once (the profile shows these full-width
+    # stages are the step's hot ops)
+    mW = EwR.shape[1]
+    X2 = mm(xb, jnp.concatenate([EwR, EwI], axis=1), "bthwc,wi->bthic")
+    Xr, Xi = X2[..., :mW, :], X2[..., mW:, :]
     # H stage
     Yr = mm(Xr, EhR, "bthic,hj->btjic") - mm(Xi, EhI, "bthic,hj->btjic")
     Yi = mm(Xr, EhI, "bthic,hj->btjic") + mm(Xi, EhR, "bthic,hj->btjic")
@@ -264,6 +267,8 @@ def truncated_spectral_conv3d_dft_lowp(x, w_real, w_imag,
     # inverse H
     hr = mm(tr, IhR, "btjic,jh->bthic") - mm(ti, IhI, "btjic,jh->bthic")
     hi = mm(tr, IhI, "btjic,jh->bthic") + mm(ti, IhR, "btjic,jh->bthic")
-    # inverse W (real output)
-    y = mm(hr, IwR, "bthic,iw->bthwc") + mm(hi, IwI, "bthic,iw->bthwc")
-    return y
+    # inverse W (real output): concatenate along the contraction axis so one
+    # GEMM writes the full-size output once (vs two full-size outputs + add)
+    h2 = jnp.concatenate([hr, hi], axis=3)
+    I2 = jnp.concatenate([IwR, IwI], axis=0)
+    return mm(h2, I2, "bthic,iw->bthwc")
