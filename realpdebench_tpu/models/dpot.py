@@ -69,6 +69,35 @@ def fft_resize_2d(x, out_size):
     return jnp.moveaxis(out, 1, -1)
 
 
+def fft_resize_3d(x, out_size):
+    """3-D spectral resize: x [B, H, W, D, F] → [B, H', W', D', F].
+
+    Volumetric analogue of :func:`fft_resize_2d` (reference ``resize``,
+    utilities.py:277-305): rfftn over the three spatial axes, truncate or
+    zero-pad each axis' spectrum (two-sided budgets on the full axes, a
+    one-sided budget on the rfft axis), scale by the volume ratio."""
+    B = x.shape[0]
+    H, W, D = x.shape[1], x.shape[2], x.shape[3]
+    Ho, Wo, Do = out_size
+    xc = jnp.moveaxis(x, -1, 1)  # [B, F, H, W, D]
+    f = jnp.fft.rfftn(xc.astype(jnp.float32), axes=(2, 3, 4))
+    h1 = min((H + 1) // 2, (Ho + 1) // 2)
+    h2 = min(H // 2, Ho // 2)
+    w1 = min((W + 1) // 2, (Wo + 1) // 2)
+    w2 = min(W // 2, Wo // 2)
+    d1 = min(f.shape[-1], Do // 2 + 1)
+    zr = jnp.zeros((*xc.shape[:2], Ho, Wo, Do // 2 + 1), jnp.float32)
+    zi = zr
+    for sh in (slice(None, h1), slice(-h2, None)):
+        for sw in (slice(None, w1), slice(-w2, None)):
+            sl = (..., sh, sw, slice(None, d1))
+            zr = zr.at[sl].set(f[sl].real)
+            zi = zi.at[sl].set(f[sl].imag)
+    out = jnp.fft.irfftn(jax.lax.complex(zr, zi), s=(Ho, Wo, Do),
+                         axes=(2, 3, 4)) * (Ho / H) * (Wo / W) * (Do / D)
+    return jnp.moveaxis(out, 1, -1)
+
+
 def _uniform_init(scale):
     def init(key, shape, dtype=jnp.float32):
         return scale * jax.random.uniform(key, shape, dtype)
@@ -287,10 +316,18 @@ class DPOTNet(nn.Module):
 
 
 class DPOT(nn.Module):
-    """Benchmark wrapper (reference model/dpot.py:22-309)."""
+    """Benchmark wrapper (reference model/dpot.py:22-309).
+
+    ``model_type`` selects the backbone (reference model/dpot.py:119-124):
+    ``dpot`` (2-D AFNO, planar [B,T,H,W,C] data) or ``dpot3d`` (volumetric
+    AFNO3D). The reference wrapper dispatches ``dpot3d`` from config but then
+    feeds it planar 5-D tensors, which its 6-D backbone cannot consume; here
+    the ``dpot3d`` contract is defined properly for volumetric data
+    [B, T, H, W, D, C] (e.g. full-volume foil trajectories)."""
 
     shape_in: Sequence[int]
     shape_out: Sequence[int]
+    model_type: str = "dpot"
     img_size: int = 128
     in_channels: int = 4
     out_channels: int = 4
@@ -310,7 +347,7 @@ class DPOT(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.dpot_model = DPOTNet(
+        common = dict(
             img_size=self.img_size, patch_size=self.patch_size,
             in_channels=self.in_channels, out_channels=self.out_channels,
             in_timesteps=self.in_timesteps, out_timesteps=self.out_timesteps,
@@ -318,8 +355,17 @@ class DPOT(nn.Module):
             out_layer_dim=self.out_layer_dim, depth=self.depth,
             modes=self.modes, mlp_ratio=self.mlp_ratio, n_cls=self.n_cls,
             normalize=self.normalize, act=self.act, time_agg=self.time_agg,
-            compute_dtype=self.compute_dtype,
         )
+        if self.model_type == "dpot3d":
+            from realpdebench_tpu.models.dpot3d import DPOTNet3D
+
+            self.dpot_model = DPOTNet3D(**common)
+        elif self.model_type == "dpot":
+            self.dpot_model = DPOTNet(
+                **common, compute_dtype=self.compute_dtype
+            )
+        else:
+            raise ValueError(f"Unknown model type: {self.model_type}")
 
     def _single_window(self, x):
         """[B, T_in, H, W, C] → [B, out_timesteps, H, W, C_out]
@@ -343,16 +389,42 @@ class DPOT(nn.Module):
             out = flat.reshape(B, H, W, To, Co)
         return jnp.transpose(out, (0, 3, 1, 2, 4))
 
+    def _single_window_3d(self, x):
+        """Volumetric window: [B, T_in, H, W, D, C] →
+        [B, out_timesteps, H, W, D, C_out]."""
+        B, T, H, W, D, C = x.shape
+        x = jnp.transpose(x, (0, 2, 3, 4, 1, 5))  # [B, H, W, D, T, C]
+        model_res = (self.img_size,) * 3
+        if (H, W, D) != model_res:
+            flat = x.reshape(B, H, W, D, T * C)
+            flat = fft_resize_3d(flat, model_res)
+            x = flat.reshape(B, *model_res, T, C)
+        if C < 4:
+            pad = jnp.ones((B, *x.shape[1:-1], 4 - C), x.dtype)
+            x = jnp.concatenate([x, pad], axis=-1)
+        out, _ = self.dpot_model(x)
+        out = out[..., : self.shape_out[-1]]
+        if (H, W, D) != model_res:
+            To, Co = out.shape[4], out.shape[5]
+            flat = out.reshape(B, *model_res, To * Co)
+            flat = fft_resize_3d(flat, (H, W, D))
+            out = flat.reshape(B, H, W, D, To, Co)
+        return jnp.transpose(out, (0, 4, 1, 2, 3, 5))
+
     def __call__(self, x, train: bool = False):
         T_out = self.shape_out[0]
+        if self.model_type == "dpot3d":
+            single = self._single_window_3d
+        else:
+            single = self._single_window
         if self.out_timesteps == T_out:
-            return self._single_window(x)
+            return single(x)
         # sliding window (static Python loop; dpot.py:150-179)
         current = x
         outputs = []
         for t in range(0, T_out, self.out_timesteps):
             window = current[:, -self.in_timesteps:]
-            pred = self._single_window(window)
+            pred = single(window)
             if t + self.out_timesteps > T_out:
                 remaining = T_out - t
                 if remaining < self.out_timesteps // 2:

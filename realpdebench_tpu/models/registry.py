@@ -200,6 +200,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
         module = DPOT(
             shape_in=shape_in,
             shape_out=shape_out,
+            model_type=kwargs.get("model_type", "dpot"),
             img_size=kwargs["img_size"],
             in_channels=kwargs["in_channels"],
             out_channels=kwargs["out_channels"],

@@ -155,3 +155,58 @@ def test_dpot3d_parity_with_reference(rng):
         want = tm(torch.from_numpy(x))  # 3-D variant returns x only
     np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_dpot3d_dispatch_and_train_step(rng):
+    """`model_type: dpot3d` builds the volumetric backbone through the
+    registry (reference model/dpot.py:119-124 dispatches on this key) and
+    trains one step on 6-D [B, T, H, W, D, C] data."""
+    import jax.numpy as jnp
+
+    from realpdebench_tpu.config import Config
+    from realpdebench_tpu.data.normalizer import IdentityNormalizer
+    from realpdebench_tpu.train.train_step import (
+        TrainState, build_optimizer, make_train_step,
+    )
+
+    shape_in = (4, 8, 8, 8, 3)
+    shape_out = (4, 8, 8, 8, 3)
+    bundle = build_model(
+        shapes=(shape_in, shape_out),
+        **{**KW, "model_type": "dpot3d", "img_size": 8, "patch_size": 4,
+           "out_timesteps": 4},
+    )
+    x = rng.normal(size=(2, *shape_in)).astype(np.float32)
+    y = rng.normal(size=(2, *shape_out)).astype(np.float32)
+    variables = bundle.init(jax.random.PRNGKey(0), x)
+    # the wrapper must have instantiated the 3-D net (AFNO3D params exist)
+    assert "block_0" in variables["params"]["dpot_model"]
+
+    out = bundle.predict(variables, x)
+    assert out.shape == (2, *shape_out)
+
+    params, model_state = bundle.split_variables(variables)
+    cfg = Config(lr=1e-3, scheduler="cosine", num_update=10)
+    state = TrainState.create(params, model_state, build_optimizer(cfg))
+    step = make_train_step(bundle, IdentityNormalizer())
+    state2, loss = step(state, jnp.asarray(x), jnp.asarray(y),
+                        jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    l0 = state.params if state2 is None else None  # keep linter quiet
+    del l0
+
+
+def test_dpot3d_dispatch_with_resize(rng):
+    """dpot3d path through the spectral 3-D resize (data grid != model)."""
+    shape_in = (4, 6, 10, 6, 3)
+    shape_out = (4, 6, 10, 6, 3)
+    bundle = build_model(
+        shapes=(shape_in, shape_out),
+        **{**KW, "model_type": "dpot3d", "img_size": 8, "patch_size": 4,
+           "out_timesteps": 4},
+    )
+    x = rng.normal(size=(2, *shape_in)).astype(np.float32)
+    variables = bundle.init(jax.random.PRNGKey(0), x)
+    out = bundle.predict(variables, x)
+    assert out.shape == (2, *shape_out)
+    assert np.isfinite(np.asarray(out)).all()
