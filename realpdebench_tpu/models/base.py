@@ -50,6 +50,8 @@ class ModelBundle:
     trainable: bool = True
     _predict_jit: Any = dataclasses.field(default=None, repr=False,
                                           compare=False)
+    _predict_jit_rng: Any = dataclasses.field(default=None, repr=False,
+                                              compare=False)
 
     def init(self, rng, sample_x):
         if not self.trainable:
@@ -82,6 +84,17 @@ class ModelBundle:
             self._predict_jit = jax.jit(
                 lambda v, xx: apply(v, xx, **kwargs)
             )
+            # stochastic-eval variant (e.g. GKT reference_eval_dropout):
+            # same program but with a dropout rng stream threaded through
+            self._predict_jit_rng = jax.jit(
+                lambda v, xx, r: apply(v, xx, rngs={"dropout": r}, **kwargs)
+            )
+        if (
+            self.stochastic
+            and rng is not None
+            and getattr(self.module, "reference_eval_dropout", False)
+        ):
+            return self._predict_jit_rng(variables, x, rng)
         return self._predict_jit(variables, x)
 
     def _rngs(self, rng, train):

@@ -17,6 +17,9 @@ Deliberate deviation: the reference applies `F.dropout(p=0.5)` to the score
 matrix unconditionally — training *and* eval (layers.py:730-732 calls the
 functional form with defaults). Here score dropout (p=0.5, matching the
 training distribution) is applied only in training; eval is deterministic.
+Set ``reference_eval_dropout: true`` in the config to reproduce the
+reference's always-on stochastic score dropout for checkpoint-eval parity
+runs (published leaderboard numbers were produced *with* that behavior).
 """
 
 from __future__ import annotations
@@ -67,6 +70,7 @@ class GalerkinAttention(nn.Module):
     xavier_init: float = 1e-2
     diagonal_weight: float = 1e-2
     score_dropout: float = 0.5  # reference F.dropout default (train-only here)
+    reference_eval_dropout: bool = False  # compat: stochastic dropout at eval
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,7 +94,9 @@ class GalerkinAttention(nn.Module):
         from realpdebench_tpu.ops.pallas.galerkin import galerkin_scores
 
         scores = galerkin_scores(k, v, ks, kb, vs, vb, self.norm_eps)
-        scores = nn.Dropout(self.score_dropout, deterministic=not train)(scores)
+        deterministic = not (train or self.reference_eval_dropout)
+        scores = nn.Dropout(self.score_dropout,
+                            deterministic=deterministic)(scores)
         out = jnp.einsum("bhnd,bhde->bhne", q, scores)
         return out.transpose(0, 2, 1, 3).reshape(B, N, self.d_model)
 
@@ -108,12 +114,14 @@ class GKTEncoderLayer(nn.Module):
     ffn_dropout: float = 0.05
     xavier_init: float = 1e-2
     diagonal_weight: float = 1e-2
+    reference_eval_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         att = GalerkinAttention(
             self.d_model, self.n_head, norm_eps=self.norm_eps,
             xavier_init=self.xavier_init, diagonal_weight=self.diagonal_weight,
+            reference_eval_dropout=self.reference_eval_dropout,
             name="attn",
         )(x, train=train)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(att)
@@ -216,6 +224,7 @@ class GalerkinTransformer3d(nn.Module):
     dropout: float = 0.05
     xavier_init: float = 1e-2
     diagonal_weight: float = 1e-2
+    reference_eval_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -233,6 +242,7 @@ class GalerkinTransformer3d(nn.Module):
                 dropout=self.dropout, ffn_dropout=self.dropout,
                 xavier_init=self.xavier_init,
                 diagonal_weight=self.diagonal_weight,
+                reference_eval_dropout=self.reference_eval_dropout,
                 name=f"encoder_{i}",
             )(h, train=train)
         h = h.reshape(B, T, H, W, self.n_hidden)

@@ -128,6 +128,9 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             dropout=float(kwargs.get("encoder_dropout", 0.05) or 0.0),
             xavier_init=float(kwargs.get("xavier_init", 1e-2)),
             diagonal_weight=float(kwargs.get("diagonal_weight", 1e-2)),
+            reference_eval_dropout=bool(
+                kwargs.get("reference_eval_dropout", False)
+            ),
         )
         return ModelBundle(
             name="galerkin_transformer", module=module,

@@ -160,3 +160,46 @@ def test_parity_with_reference_torch(rng):
     finally:
         libs.layers.F.dropout = orig_dropout
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_reference_eval_dropout_compat_flag(rng):
+    """`reference_eval_dropout: true` reproduces the reference's always-on
+    stochastic score dropout at eval (layers.py:730-732 calls F.dropout with
+    training defaults even in model.eval()). Bit-parity with torch's RNG is
+    impossible; the semantic contract is: (a) eval is stochastic across rng
+    keys, (b) deterministic for a fixed key, (c) unbiased — the mean over
+    keys approaches the dropout-free output (inverted scaling), and (d) the
+    default flag-off path stays deterministic."""
+    x = rng.normal(size=(1, *SHAPE_IN)).astype(np.float32)
+
+    base = build_model(shapes=(SHAPE_IN, SHAPE_OUT), **KW)
+    variables = base.init(jax.random.PRNGKey(0), x)
+    clean = np.asarray(base.predict(variables, x, rng=jax.random.PRNGKey(7)))
+
+    compat = build_model(shapes=(SHAPE_IN, SHAPE_OUT),
+                         **{**KW, "reference_eval_dropout": True})
+    # identical params: same init key and identical module param structure
+    v2 = compat.init(jax.random.PRNGKey(0), x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables, v2,
+    )
+
+    p1 = np.asarray(compat.predict(v2, x, rng=jax.random.PRNGKey(1)))
+    p1b = np.asarray(compat.predict(v2, x, rng=jax.random.PRNGKey(1)))
+    p2 = np.asarray(compat.predict(v2, x, rng=jax.random.PRNGKey(2)))
+    np.testing.assert_array_equal(p1, p1b)        # (b) fixed key → same
+    assert np.abs(p1 - p2).max() > 1e-6           # (a) stochastic across keys
+    assert np.abs(p1 - clean).max() > 1e-6        # dropout actually active
+
+    mean = np.mean(
+        [np.asarray(compat.predict(v2, x, rng=jax.random.PRNGKey(k)))
+         for k in range(40)], axis=0)
+    # (c) unbiasedness: mean over keys contracts toward the clean output
+    assert np.abs(mean - clean).mean() < 0.5 * np.abs(p1 - clean).mean()
+
+    # (d) default stays deterministic even when an rng is supplied
+    d1 = np.asarray(base.predict(variables, x, rng=jax.random.PRNGKey(1)))
+    d2 = np.asarray(base.predict(variables, x, rng=jax.random.PRNGKey(2)))
+    np.testing.assert_array_equal(d1, d2)
