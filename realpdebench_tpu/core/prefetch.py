@@ -24,6 +24,8 @@ def prefetch_to_device(iterator: Iterable, sharding, size: int = 2) -> Iterator:
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    multi_process = jax.process_count() > 1
+
     def put(batch):
         def _place(x):
             if hasattr(sharding, "mesh"):
@@ -32,6 +34,11 @@ def prefetch_to_device(iterator: Iterable, sharding, size: int = 2) -> Iterator:
                 s = NamedSharding(sharding.mesh, spec)
             else:
                 s = sharding
+            if multi_process:
+                # each host holds only its 1/process_count slice of the
+                # global batch (DataLoader(process_shard=True)); assemble the
+                # logical global array without any cross-host transfer
+                return jax.make_array_from_process_local_data(s, x)
             return jax.device_put(x, s)
 
         return jax.tree_util.tree_map(_place, batch)

@@ -40,12 +40,17 @@ class DataLoader:
         drop_last: bool = False,
         pad_last: bool = False,
         process_shard: bool = False,
+        process_count: Optional[int] = None,
+        process_index: Optional[int] = None,
     ):
         """``batch_size`` is the GLOBAL batch. With ``process_shard`` on a
         multi-host run, each process loads only its `jax.process_index()`
         slice of every batch (same permutation everywhere — the seed is
-        shared), which composes with `jax.make_array_from_process_local_data`
-        style assembly; single-process runs are unaffected."""
+        shared); `core.prefetch.prefetch_to_device` assembles the local
+        slices into global arrays with
+        `jax.make_array_from_process_local_data`. Single-process runs are
+        unaffected. ``process_count``/``process_index`` override the jax
+        runtime values (tests, dry runs)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -56,8 +61,13 @@ class DataLoader:
         self._epoch = 0
         import jax
 
-        self._n_proc = jax.process_count() if process_shard else 1
-        self._proc = jax.process_index() if process_shard else 0
+        if process_shard:
+            self._n_proc = (process_count if process_count is not None
+                            else jax.process_count())
+            self._proc = (process_index if process_index is not None
+                          else jax.process_index())
+        else:
+            self._n_proc, self._proc = 1, 0
         if process_shard and batch_size % self._n_proc:
             raise ValueError(
                 f"global batch {batch_size} not divisible by "

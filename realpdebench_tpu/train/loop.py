@@ -114,9 +114,13 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
     )
 
     global_bs = mesh_ctx.pad_batch(int(cfg.train_batch_size))
+    # multi-host: each process loads only its slice of every global batch
+    # (same shuffle seed everywhere keeps the index permutation aligned);
+    # prefetch_to_device assembles the slices into global sharded arrays
     train_loader = DataLoader(
         train_ds, batch_size=global_bs, shuffle=True, drop_last=True,
         num_workers=int(cfg.get("num_workers", 4)), seed=int(cfg.get("seed", 0)),
+        process_shard=True,
     )
     # pad_last keeps every val batch the same shape (one compiled eval step);
     # padded rows are dropped host-side before the metric sweep

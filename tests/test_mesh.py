@@ -82,3 +82,83 @@ def test_param_shardings_fno():
     # weights remain mp-sharded after the update
     w = state.params["layer_0"]["spectral"]["w_real"]
     assert len(w.sharding.device_set) >= 2
+
+
+class _RecordingDataset:
+    """Map-style dataset recording which indices were touched."""
+
+    def __init__(self, n=32, shape=(2, 4, 4, 3)):
+        self.n = n
+        self.shape = shape
+        self.touched = set()
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        self.touched.add(int(i))
+        x = np.full(self.shape, float(i), np.float32)
+        return x, x + 0.5
+
+
+def test_process_sharded_loader_partitions_batches():
+    """Multi-host data sharding (SURVEY §2.5 consequence 2): with a shared
+    shuffle seed, the per-process slices of every global batch are disjoint,
+    cover the batch exactly, and concatenate back to the single-process
+    batch."""
+    from realpdebench_tpu.data.loader import DataLoader
+
+    n_proc, bs = 4, 8
+    ref_ds = _RecordingDataset()
+    ref_loader = DataLoader(ref_ds, batch_size=bs, shuffle=True, seed=7,
+                            drop_last=True)
+    ref_batches = list(ref_loader)
+
+    proc_batches = []
+    proc_touched = []
+    for p in range(n_proc):
+        ds = _RecordingDataset()
+        loader = DataLoader(ds, batch_size=bs, shuffle=True, seed=7,
+                            drop_last=True, process_shard=True,
+                            process_count=n_proc, process_index=p)
+        proc_batches.append(list(loader))
+        proc_touched.append(ds.touched)
+
+    # each process touches exactly 1/n_proc of the items, disjoint
+    per = len(ref_ds) // n_proc
+    assert all(len(t) == per for t in proc_touched)
+    union = set().union(*proc_touched)
+    assert len(union) == len(ref_ds)
+
+    # concatenating the per-process slices reproduces the global batch
+    for step, (rx, ry) in enumerate(ref_batches):
+        gx = np.concatenate([proc_batches[p][step][0] for p in range(n_proc)])
+        gy = np.concatenate([proc_batches[p][step][1] for p in range(n_proc)])
+        np.testing.assert_array_equal(gx, rx)
+        np.testing.assert_array_equal(gy, ry)
+
+
+def test_process_shard_requires_divisible_batch():
+    from realpdebench_tpu.data.loader import DataLoader
+
+    with np.testing.assert_raises(ValueError):
+        DataLoader(_RecordingDataset(), batch_size=6, process_shard=True,
+                   process_count=4, process_index=0)
+
+
+def test_prefetch_assembles_on_single_process():
+    """prefetch_to_device with a dp-sharded mesh: batches come out globally
+    shaped and dp-sharded (the multi-process branch reduces to this when
+    process_count == 1)."""
+    from realpdebench_tpu.core.prefetch import prefetch_to_device
+
+    mesh8 = make_mesh_context("dp=8,mp=1")
+
+    batches = [(np.ones((8, 3, 3), np.float32) * i,
+                np.ones((8, 2), np.float32) * i) for i in range(3)]
+    out = list(prefetch_to_device(iter(batches), mesh8.batch_sharding))
+    assert len(out) == 3
+    for i, (x, y) in enumerate(out):
+        assert x.shape == (8, 3, 3)
+        assert len(x.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(x), batches[i][0])
