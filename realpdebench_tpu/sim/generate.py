@@ -65,14 +65,21 @@ def main():
     parser.add_argument("--re-min", type=float, default=80.0)
     parser.add_argument("--re-max", type=float, default=200.0)
     args = parser.parse_args()
-    generate_cylinder_sweep(
-        args.dataset_root, args.scenario, args.n_sim, args.n_frames,
-        args.nx, args.ny, re_min=args.re_min, re_max=args.re_max,
-    )
+    if args.scenario == "fsi":
+        generate_fsi_sweep(
+            args.dataset_root, args.n_sim, args.n_frames, args.nx, args.ny,
+            re_min=args.re_min, re_max=args.re_max,
+        )
+    elif args.scenario == "controlled_cylinder":
+        generate_controlled_sweep(
+            args.dataset_root, args.n_sim, args.n_frames, args.nx, args.ny,
+        )
+    else:
+        generate_cylinder_sweep(
+            args.dataset_root, args.scenario, args.n_sim, args.n_frames,
+            args.nx, args.ny, re_min=args.re_min, re_max=args.re_max,
+        )
 
-
-if __name__ == "__main__":
-    main()
 
 
 def generate_controlled_sweep(dataset_root, n_sim=4, n_frames=256, nx=128,
@@ -135,3 +142,54 @@ def generate_controlled_sweep(dataset_root, n_sim=4, n_frames=256, nx=128,
         written.append(path)
         print(f"controlled sim {sim_id}: scale={scale:.2f} → {path}")
     return written
+
+
+def generate_fsi_sweep(dataset_root, n_sim=4, n_frames=256, nx=128, ny=128,
+                       substeps=4, re_min=100.0, re_max=300.0, seed=0,
+                       warmup_frames=64, stiffness_min=4.0,
+                       stiffness_max=16.0):
+    """FSI trajectories: an elastically mounted cylinder responding to the
+    fluid force (vortex-induced vibration). Reference counterpart: the
+    moving-body BDIM sweep in `data/sim_generation/fsi/` (Test0.pde's
+    spring/damper `forceR` + `Cylinder1.react`). Sweeps (Re, spring
+    stiffness); writes the benchmark `measured_data/{u,v,p}` layout plus the
+    body-center path."""
+    import h5py
+
+    from realpdebench_tpu.sim.ns2d import FSIConfig, SolverConfig, simulate_fsi
+
+    out_dir = os.path.join(dataset_root, "fsi", "numerical")
+    os.makedirs(out_dir, exist_ok=True)
+    reynolds = np.linspace(re_min, re_max, n_sim)
+    stiffness = np.linspace(stiffness_min, stiffness_max, n_sim)
+    key = jax.random.PRNGKey(seed)
+    written = []
+    for i, (re, k_spring) in enumerate(zip(reynolds, stiffness)):
+        cfg = SolverConfig(nx=nx, ny=ny, reynolds=float(re))
+        fsi = FSIConfig(stiffness=float(k_spring))
+        key, k = jax.random.split(key)
+        frames, cd, cl, centers = simulate_fsi(
+            cfg, fsi, k, n_frames + warmup_frames, substeps=substeps)
+        frames = np.asarray(frames[warmup_frames:])
+        sim_id = 1000 + i
+        # FSI filenames carry (id, parameter) — the dataset's regex is
+        # r"(\d+)_([\d\.]+)_" (data/fluid.py FSI.file_name_pattern)
+        path = os.path.join(out_dir, f"{sim_id}_{re / 100.0:.2f}_.h5")
+        with h5py.File(path, "w") as f:
+            g = f.create_group("measured_data")
+            g.create_dataset("u", data=frames[..., 0])
+            g.create_dataset("v", data=frames[..., 1])
+            g.create_dataset("p", data=frames[..., 2])
+            f.attrs["reynolds"] = float(re)
+            f.attrs["stiffness"] = float(k_spring)
+            f.create_dataset("cd", data=np.asarray(cd[warmup_frames:]))
+            f.create_dataset("cl", data=np.asarray(cl[warmup_frames:]))
+            f.create_dataset(
+                "body_center", data=np.asarray(centers[warmup_frames:]))
+        written.append(path)
+        print(f"fsi sim {sim_id}: Re={re:.1f} k={k_spring:.1f} → {path}")
+    return written
+
+
+if __name__ == "__main__":
+    main()
