@@ -287,7 +287,16 @@ def convert_deeponet(sd, params_template, model_state_template):
             "mean": sd[f"branch.{stage}.1.running_mean"],
             "var": sd[f"branch.{stage}.1.running_var"],
         }
-    branch["Dense_0"] = _dense(sd, "branch.fc.0")
+    # branch.fc.0 consumes the flattened pooled features: torch flattens the
+    # channels-first tensor [B, 256, 1, 4, 4] in (C, spatial) order while the
+    # flax branch flattens channels-last (spatial, C) — permute the weight's
+    # input dimension accordingly. (At tiny debug shapes the adaptive pool
+    # upsamples and repeats values, which masked this; real shapes diverge.)
+    w0 = sd["branch.fc.0.weight"]  # [512, 256*1*4*4]
+    cdim, spatial = 256, w0.shape[1] // 256
+    w0 = w0.reshape(w0.shape[0], cdim, spatial)
+    w0 = np.ascontiguousarray(w0.transpose(0, 2, 1)).reshape(w0.shape[0], -1)
+    branch["Dense_0"] = {"kernel": w0.T, "bias": sd["branch.fc.0.bias"]}
     branch["Dense_1"] = _dense(sd, "branch.fc.3")
     trunk = {
         f"Dense_{i}": _dense(sd, src)
@@ -354,10 +363,15 @@ def convert_galerkin(sd, params_template, model_state_template):
                        "bias": sd["downscaler.id.bias"]},
     }
     n_enc = len({k.split(".")[1] for k in sd if k.startswith("encoder_layers.")})
+    # head count = number of per-head norm modules: keys look like
+    # encoder_layers.{i}.attn.norm_K.{h}.weight → the head index is the
+    # segment after "norm_K"
     n_head = None
     for k in sd:
         if k.endswith("attn.norm_K.0.weight"):
-            n_head = len({kk.split(".")[3] for kk in sd
+            parts = k.split(".")
+            h_idx = parts.index("norm_K") + 1
+            n_head = len({kk.split(".")[h_idx] for kk in sd
                           if "attn.norm_K." in kk and kk.endswith(".weight")})
             break
     for i in range(n_enc):

@@ -1,0 +1,350 @@
+"""Checkpoint-parity closed loop: for every converter-backed model family,
+train/construct the *reference torch model*, save a checkpoint in the
+reference's on-disk format (train.py:410-418), load it back through
+`load_reference_or_orbax_checkpoint` (the finetune/eval entry path,
+train/loop.py), and assert the two frameworks' eval predictions and the full
+eval_metrics sweep agree.
+
+This exercises the registered converters in interop/torch_convert.py through
+the real loading path (round-1 gap: converters were only mirrored by ad-hoc
+per-test transplants, so converter↔model drift was undetected)."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+# XLA:CPU's DEFAULT matmul precision is reduced (bf16-class) on this host —
+# an exact-representable [2048,3]x[3,64] f32 matmul deviates ~5e-3 from the
+# numpy oracle. Parity comparisons need true f32 GEMMs.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from realpdebench_tpu.config import Config
+from realpdebench_tpu.models.registry import build_model
+from realpdebench_tpu.train.train_step import TrainState, build_optimizer
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference repo not mounted"
+)
+
+sys.path.insert(0, "/root/reference")
+torch = pytest.importorskip("torch")
+
+
+def _install_import_stubs():
+    """Shims for reference deps absent in this environment (same shims the
+    per-model parity tests use): pkg_resources (CNO_libs) and
+    timm.models.layers.trunc_normal_ (TRANSOLVER_libs)."""
+    import types
+
+    if "pkg_resources" not in sys.modules:
+        try:
+            import pkg_resources  # noqa: F401
+        except ImportError:
+            from packaging.version import parse as parse_version
+
+            stub = types.ModuleType("pkg_resources")
+            stub.parse_version = parse_version
+            sys.modules["pkg_resources"] = stub
+    for name in ("torchinfo", "psutil"):  # import-time-only deps
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                stub = types.ModuleType(name)
+                stub.summary = lambda *a, **k: None
+                stub.cpu_count = lambda *a, **k: 1
+                stub.virtual_memory = lambda: types.SimpleNamespace(total=0)
+                sys.modules[name] = stub
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
+        timm.models = models
+        models.layers = layers
+        sys.modules.update(
+            {"timm": timm, "timm.models": models,
+             "timm.models.layers": layers})
+
+
+_install_import_stubs()
+
+
+def _save_reference_ckpt(tmp_path, tm, name):
+    """Reference checkpoint dict layout (train.py:410-418)."""
+    path = str(tmp_path / f"{name}.pth")
+    torch.save(
+        {
+            "model_state_dict": tm.state_dict(),
+            "train_losses": [0.5],
+            "val_losses": [0.6],
+            "iteration": 1,
+            "best_iteration": 1,
+            "best_val_loss": 0.6,
+        },
+        path,
+    )
+    return path
+
+
+def _train_torch_steps(tm, x, y, n=2, lr=1e-3):
+    """A couple of real reference training steps so the checkpoint carries
+    non-initial weights AND updated BatchNorm running stats."""
+    opt = torch.optim.Adam(tm.parameters(), lr=lr)
+    tm.train()
+    for _ in range(n):
+        opt.zero_grad()
+        loss = tm.train_loss(torch.from_numpy(x), torch.from_numpy(y)).mean()
+        loss.backward()
+        opt.step()
+    tm.eval()
+    return tm
+
+
+def _closed_loop(tmp_path, tm, bundle, x, rtol, atol, name):
+    """Save torch ckpt → load via the framework path → compare predictions
+    and the 13-scalar eval_metrics sweep."""
+    from realpdebench_tpu.eval.metrics import eval_metrics_dict
+    from realpdebench_tpu.train.loop import load_reference_or_orbax_checkpoint
+
+    path = _save_reference_ckpt(tmp_path, tm, name)
+
+    variables = bundle.init(jax.random.PRNGKey(0), x)
+    params, model_state = bundle.split_variables(variables)
+    cfg = Config(lr=1e-3, scheduler="cosine", num_update=10)
+    state = TrainState.create(params, model_state, build_optimizer(cfg))
+    state = load_reference_or_orbax_checkpoint(path, state, bundle)
+
+    loaded = {"params": state.params, **state.model_state}
+    got = np.asarray(bundle.predict(loaded, x))
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+
+    # full 13-scalar metric sweep agreement on a common target
+    tgt = (0.9 * want + 0.05).astype(np.float32)
+    c = got.shape[-1]
+    m_jax = eval_metrics_dict(got, tgt, c)
+    m_torch = eval_metrics_dict(want, tgt, c)
+    assert set(m_jax) == set(m_torch) and len(m_jax) >= 13
+    for k in m_jax:
+        np.testing.assert_allclose(
+            float(m_jax[k]), float(m_torch[k]), rtol=5e-3, atol=1e-5,
+            err_msg=f"metric {k} diverged for {name}")
+
+
+def test_fno_checkpoint_closed_loop(tmp_path, rng):
+    from realpdebench.model.fno import FNO3d as TorchFNO3d
+
+    si = so = (4, 12, 12, 3)
+    torch.manual_seed(0)
+    tm = TorchFNO3d(modes1=2, modes2=3, modes3=3, n_layers=2, width=8,
+                    shape_in=si, shape_out=so)
+    x = rng.normal(size=(2, *si)).astype(np.float32)
+    y = rng.normal(size=(2, *so)).astype(np.float32)
+    tm = _train_torch_steps(tm, x, y)
+    bundle = build_model(shapes=(si, so), model_name="fno", modes1=2,
+                         modes2=3, modes3=3, n_layers=2, width=8)
+    _closed_loop(tmp_path, tm, bundle, x, 2e-4, 2e-4, "fno")
+
+
+def test_unet_checkpoint_closed_loop(tmp_path, rng):
+    from tests.test_unet import _install_shims
+
+    _install_shims(torch)
+    from realpdebench.model.unet import Unet3d as TorchUnet3d
+
+    si = so = (4, 16, 16, 3)
+    torch.manual_seed(0)
+    tm = TorchUnet3d(dim=si[1], out_channels=so[-1], dim_mults=(1, 2),
+                     channels=si[-1], in_time=si[0], out_time=so[0])
+    x = rng.normal(size=(2, *si)).astype(np.float32)
+    y = rng.normal(size=(2, *so)).astype(np.float32)
+    tm = _train_torch_steps(tm, x, y)
+    bundle = build_model(shapes=(si, so), model_name="unet",
+                         dim_mults=[1, 2])
+    _closed_loop(tmp_path, tm, bundle, x, 1e-2, 2e-3, "unet")
+
+
+def test_deeponet_checkpoint_closed_loop(tmp_path, rng):
+    from realpdebench.model.deeponet import DeepONet as TorchDeepONet
+
+    si = so = (8, 16, 16, 3)
+    torch.manual_seed(0)
+    tm = TorchDeepONet(shape_in=si, shape_out=so, input_channels=3,
+                       output_channels=3, p=16, dropout_rate=0.0,
+                       device="cpu")
+    x = rng.normal(size=(2, *si)).astype(np.float32)
+    y = rng.normal(size=(2, *so)).astype(np.float32)
+    tm = _train_torch_steps(tm, x, y)
+    bundle = build_model(shapes=(si, so), model_name="deeponet", p=16,
+                         dropout_rate=0.0)
+    _closed_loop(tmp_path, tm, bundle, x, 1e-3, 1e-4, "deeponet")
+
+
+def test_transolver_checkpoint_closed_loop(tmp_path, rng):
+    from realpdebench.model.TRANSOLVER_libs.Transolver_Structured_Mesh_3D import (
+        Model as TorchTransolver,
+    )
+
+    si = so = (4, 8, 8, 3)
+    torch.manual_seed(0)
+    tm = TorchTransolver(space_dim=3, n_layers=2, n_hidden=16, n_head=2,
+                         H=8, W=8, D=4, fun_dim=0, out_dim=3, ref=4,
+                         dropout=0.0, act="gelu", mlp_ratio=2, slice_num=8,
+                         Time_Input=False, unified_pos=False)
+    x = rng.normal(size=(2, *si)).astype(np.float32)
+    y = rng.normal(size=(2, *so)).astype(np.float32)
+    tm = _train_torch_steps(tm, x, y)
+    bundle = build_model(
+        shapes=(si, so), model_name="transolver", space_dim=3, n_layers=2,
+        n_hidden=16, n_head=2, H=8, W=8, D=4, fun_dim=0, out_dim=3, ref=4,
+        dropout=0.0, act="gelu", mlp_ratio=2, slice_num=8)
+    _closed_loop(tmp_path, tm, bundle, x, 2e-3, 1e-3, "transolver")
+
+
+def test_galerkin_checkpoint_closed_loop(tmp_path, rng):
+    from realpdebench.model import galerkin_transformer_libs as libs
+    from realpdebench.model.galerkin_transformer import GalerkinTransformer3d
+
+    si = so = (4, 8, 8, 3)
+    cfg = dict(
+        node_feats=3, n_targets=3, shape_in=si, shape_out=so,
+        pos_dim=1, n_hidden=32, num_encoder_layers=2, n_head=4,
+        dim_feedforward=32, attention_type="galerkin", xavier_init=1e-2,
+        diagonal_weight=1e-2, symmetric_init=False, layer_norm=False,
+        attn_norm=True, norm_eps=1e-7, batch_norm=False,
+        return_attn_weight=False, return_latent=False,
+        decoder_type="ifft2", spacial_dim=3, spacial_fc=True,
+        freq_dim=16, num_regressor_layers=2, fourier_modes_x=3,
+        fourier_modes_y=3, fourier_modes_t=2, regressor_activation="silu",
+        dropout=0.0, encoder_dropout=0.0, ffn_dropout=0.0,
+        decoder_dropout=0.0, downscaler_dropout=0.0, upscaler_dropout=0.0,
+        feat_extract_type=None, upsample_mode="interp",
+        downsample_mode="interp", num_feat_layers=0, last_activation=True,
+        boundary_condition=None, debug=False,
+    )
+    torch.manual_seed(0)
+    tm = GalerkinTransformer3d(**cfg)
+    x = rng.normal(size=(2, *si)).astype(np.float32)
+    y = rng.normal(size=(2, *si)).astype(np.float32)
+    # neutralize the always-on functional score dropout for a deterministic
+    # comparison (documented deviation; see models/galerkin_transformer.py)
+    orig_dropout = libs.layers.F.dropout
+    libs.layers.F.dropout = lambda t, *a, **k: t
+    try:
+        tm = _train_torch_steps(tm, x, y)
+        bundle = build_model(
+            shapes=(si, so), model_name="galerkin_transformer", n_hidden=32,
+            num_encoder_layers=2, n_head=4, dim_feedforward=32,
+            attention_type="galerkin", layer_norm=False, attn_norm=True,
+            norm_eps=1e-7, fourier_modes_x=3, fourier_modes_y=3,
+            fourier_modes_t=2, num_regressor_layers=2, freq_dim=16,
+            encoder_dropout=0.0, xavier_init=1e-2, diagonal_weight=1e-2)
+        _closed_loop(tmp_path, tm, bundle, x, 2e-3, 1e-3,
+                     "galerkin_transformer")
+    finally:
+        libs.layers.F.dropout = orig_dropout
+
+
+def test_mwt_checkpoint_closed_loop(tmp_path, rng):
+    from realpdebench.model.MWT_libs.models import MWT3d as TorchMWT3d
+
+    si = so = (4, 8, 16, 3)
+    torch.manual_seed(0)
+    tm = TorchMWT3d(k=3, alpha=2, c=2, nCZ=2, L=0, base="legendre",
+                    shape_in=si, shape_out=so)
+    x = rng.normal(size=(2, *si)).astype(np.float32)
+    y = rng.normal(size=(2, *so)).astype(np.float32)
+    tm = _train_torch_steps(tm, x, y)
+    bundle = build_model(shapes=(si, so), model_name="mwt", k=3, alpha=2,
+                         c=2, nCZ=2, L=0, base="legendre")
+    _closed_loop(tmp_path, tm, bundle, x, 2e-3, 1e-3, "mwt")
+
+
+def test_cno_checkpoint_closed_loop(tmp_path, rng):
+    from realpdebench.model.cno import CNO3d as TorchCNO3d
+
+    si = so = (4, 16, 16, 3)
+    torch.manual_seed(0)
+    tm = TorchCNO3d(in_dim=3, in_size=16, N_layers=2, N_res=1, N_res_neck=2,
+                    channel_multiplier=8, latent_lift_proj_dim=8, out_dim=3,
+                    out_dim_mult=1, activation="LeakyReLU")
+    x = rng.normal(size=(2, *si)).astype(np.float32)
+    y = rng.normal(size=(2, *so)).astype(np.float32)
+    tm = _train_torch_steps(tm, x, y)
+    bundle = build_model(shapes=(si, so), model_name="cno", N_layers=2,
+                         N_res=1, N_res_neck=2, channel_multiplier=8,
+                         latent_lift_proj_dim=8, activation="LeakyReLU")
+    _closed_loop(tmp_path, tm, bundle, x, 5e-3, 2e-3, "cno")
+
+
+def test_dpot_checkpoint_closed_loop(tmp_path, rng):
+    from realpdebench.model.dpot import DPOT as TorchDPOT
+
+    si = so = (4, 16, 16, 3)
+    kw = dict(img_size=16, in_channels=4, out_channels=4, in_timesteps=4,
+              out_timesteps=4, patch_size=4, embed_dim=16, depth=2,
+              n_blocks=4, modes=4, mlp_ratio=1, out_layer_dim=8,
+              normalize=False, act="gelu", time_agg="exp_mlp", n_cls=2)
+    torch.manual_seed(0)
+    tm = TorchDPOT(shape_in=si, shape_out=so, model_type="dpot",
+                   checkpoint_path=None, **kw)
+    x = rng.normal(size=(2, *si)).astype(np.float32)
+    y = rng.normal(size=(2, *so)).astype(np.float32)
+    tm = _train_torch_steps(tm, x, y)
+    bundle = build_model(shapes=(si, so), model_name="dpot", **kw)
+    _closed_loop(tmp_path, tm, bundle, x, 2e-3, 1e-3, "dpot")
+
+
+def test_wdno_checkpoint_closed_loop(tmp_path, rng):
+    """WDNO's sampler is stochastic (no cross-framework bit parity), so the
+    closed loop asserts the *deterministic* part: the checkpoint loads
+    through the framework path and the denoiser backbone forward matches the
+    reference Unet3d at fixed (x_t, t)."""
+    from tests.test_unet import _install_shims
+
+    _install_shims(torch)
+    from realpdebench.model.wdno_libs.unet import Unet3d as TorchWdnoUnet
+
+    from realpdebench_tpu.train.loop import load_reference_or_orbax_checkpoint
+
+    si, so = (4, 8, 8, 3), (4, 8, 8, 3)
+    bundle = build_model(
+        shapes=(si, so), model_name="wdno", dim=8, dim_mults=[1, 2],
+        wave_type="bior1.1", pad_mode="zero", beta_schedule="sigmoid",
+        timesteps=20, sampling_timesteps=4, ddim_sampling_eta=1.0)
+    x = rng.normal(size=(2, *si)).astype(np.float32)
+    variables = bundle.init(jax.random.PRNGKey(0), x)
+
+    # denoiser channel budget: 8 subbands x (C_in + C_out*T_out/T_in)
+    chans = variables["params"]["init_conv"]["kernel"].shape[-2]
+    torch.manual_seed(0)
+    tdenoiser = TorchWdnoUnet(dim=8, dim_mults=(1, 2), channels=chans,
+                              out_channels=chans).eval()
+    # wrap as the reference WDNO checkpoint would name it (model. prefix)
+    sd = {f"model.{k}": v for k, v in tdenoiser.state_dict().items()}
+    path = str(tmp_path / "wdno.pth")
+    torch.save({"model_state_dict": sd, "iteration": 1}, path)
+
+    params, model_state = bundle.split_variables(variables)
+    cfg = Config(lr=1e-3, scheduler="cosine", num_update=10)
+    state = TrainState.create(params, model_state, build_optimizer(cfg))
+    state = load_reference_or_orbax_checkpoint(path, state, bundle)
+
+    # deterministic denoiser forward at a fixed coefficient state; the
+    # reference zeroes the diffusion time internally (wdno_libs/unet.py:506),
+    # so no timestep argument exists to thread through
+    T, X, Y = bundle.pipeline.model_shape
+    xt = rng.normal(size=(2, T, X, Y, chans)).astype(np.float32) * 0.3
+    import jax.numpy as jnp
+
+    got = np.asarray(bundle.module.apply(
+        {"params": state.params}, jnp.asarray(xt), train=False))
+    with torch.no_grad():
+        want = tdenoiser(torch.from_numpy(xt)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
