@@ -87,9 +87,17 @@ def make_train_step(
 
     ``grad_accum`` > 1 splits the batch into that many microbatches processed
     by a `lax.scan` with gradient averaging before one optimizer update —
-    activation memory scales with the microbatch, gradient semantics stay
-    those of the full batch. Mutable model state (BatchNorm running stats)
-    threads sequentially through the microbatches.
+    activation memory scales with the microbatch.
+
+    BatchNorm caveat (documented deviation): under accumulation, BN batch
+    statistics are computed per microbatch, while the reference normalizes
+    over the full batch (train.py:321-343 runs the whole bs-32 batch in one
+    pass). Exact full-batch statistics are not recoverable without a second
+    full forward pass (layer l+1's statistics depend on layer l's normalized
+    output), so for BN models (FNO/CNO/MWT/GKT) grad_accum > 1 trains with
+    ghost-batch normalization over bs/grad_accum samples. The deviation is
+    quantified in tests/test_end_to_end.py::test_grad_accum_bn_deviation;
+    use grad_accum=1 where reference-exact training curves matter.
     """
 
     def _loss_and_grad(params, model_state, xn, yn, rng):

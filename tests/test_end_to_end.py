@@ -122,3 +122,45 @@ def test_train_with_tensor_parallel_mesh(root, tmp_path):
     assert np.isfinite(history["train_loss"]).all()
     w = state.params["layer_0"]["spectral"]["w_real"]
     assert len(w.sharding.device_set) >= 2  # stayed mp-sharded
+
+
+def test_grad_accum_bn_deviation(rng):
+    """Quantify the documented grad_accum BatchNorm deviation (see
+    make_train_step docstring): accumulated microbatches use ghost-batch BN
+    statistics, so losses track the full-batch (accum=1) run closely but not
+    bit-exactly. Guards both directions: within a few percent (catches real
+    accumulation bugs) yet not identical (the deviation exists)."""
+    import jax
+
+    from realpdebench_tpu.config import Config
+    from realpdebench_tpu.data.normalizer import IdentityNormalizer
+    from realpdebench_tpu.models.registry import build_model
+    from realpdebench_tpu.train.train_step import (
+        TrainState, build_optimizer, make_train_step,
+    )
+
+    si = so = (4, 12, 12, 3)
+    bundle = build_model(shapes=(si, so), model_name="fno", modes1=2,
+                         modes2=3, modes3=3, n_layers=2, width=8)
+    x = rng.normal(size=(8, *si)).astype(np.float32)
+    y = (1.5 * x + 0.1).astype(np.float32)
+
+    losses = {}
+    for accum in (1, 4):
+        variables = bundle.init(jax.random.PRNGKey(0), x)
+        params, ms = bundle.split_variables(variables)
+        cfg = Config(lr=1e-3, scheduler="cosine", num_update=20)
+        state = TrainState.create(params, ms, build_optimizer(cfg))
+        step = make_train_step(bundle, IdentityNormalizer(), grad_accum=accum)
+        ls = []
+        rng_ = jax.random.PRNGKey(1)
+        for _ in range(6):
+            rng_, k = jax.random.split(rng_)
+            state, loss = step(state, x, y, k)
+            ls.append(float(loss))
+        losses[accum] = np.asarray(ls)
+
+    # ghost-batch BN makes them differ, but only slightly on this problem
+    rel = np.abs(losses[1] - losses[4]) / np.abs(losses[1])
+    assert rel.max() < 0.05, f"accum deviation too large: {rel}"
+    assert rel.max() > 0.0, "expected a (small) BN ghost-batch deviation"
