@@ -191,6 +191,26 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
     profile_dir = cfg.get("profile_dir")
     profile_window = (10, min(20, num_update))  # steps traced when enabled
 
+    # losses stay on device between validations: float(loss) per step would
+    # force a host sync every iteration (~30 ms round-trip on tunneled
+    # runtimes); instead device scalars accumulate in a list and one batched
+    # fetch drains them at each validation/log boundary
+    pending_losses: list = []
+
+    def _drain_losses():
+        nonlocal total_loss, count
+        if not pending_losses:
+            return
+        vals = [float(v) for v in jax.device_get(pending_losses)]
+        start_it = iteration - len(vals) + 1
+        for j, lv in enumerate(vals):
+            history["train_loss"].append(lv)
+            if writer is not None:
+                writer.add_scalar("train_loss", lv, start_it + j)
+        total_loss += sum(vals)
+        count += len(vals)
+        pending_losses.clear()
+
     for iteration in range(start_iteration + 1, num_update + 1):
         x, y = next(batches)
         rng, k = jax.random.split(rng)
@@ -203,14 +223,10 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
                 jax.block_until_ready(loss)
         state, loss = step_fn(state, x, y, k)
         timer.tick()
-        loss_val = float(loss)
-        total_loss += loss_val
-        count += 1
-        history["train_loss"].append(loss_val)
-        if writer is not None:
-            writer.add_scalar("train_loss", loss_val, iteration)
+        pending_losses.append(loss)
 
         if iteration % val_every == 0:
+            _drain_losses()
             if unmeasured_c is None:
                 _, y_probe = val_ds[0]
                 unmeasured_c = infer_unmeasured_channels(y_probe[None])
@@ -225,7 +241,7 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
                 best_val, best_iter = val["rmse"], iteration
             logging.info(
                 f"Iteration {iteration}, train loss: {total_loss / max(count,1):.5f}"
-            )
+            )  # noqa: E501
             logging.info(
                 "Validation results: "
                 + ", ".join(f"{kk}: {val[kk]:.5f}" for kk in VAL_KEYS)
@@ -244,6 +260,7 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
                 },
             )
 
+    _drain_losses()
     ckpt.wait()
     elapsed = time.time() - t_start
     perf = timer.summary()
