@@ -19,6 +19,19 @@ is a threaded double-buffered pipeline feeding sharded device buffers.
 
 __version__ = "0.2.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor JAX_PLATFORMS even on hosts whose sitecustomize force-registers
+    # an accelerator platform after env parsing (jax then ignores the env
+    # var; pinning via jax.config restores standard behavior).
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - jax absent or locked
+        pass
+
 # Dataset artifact versioning (parity with reference realpdebench/__init__.py:10-71:
 # a version.json in the dataset root gates code/data compatibility).
 MIN_DATA_VERSION = "0.2.0"

@@ -109,7 +109,25 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+_PASSTHROUGH = ("train", "eval", "train-surrogate", "convert")
+
+
 def main(argv: Optional[list] = None) -> None:
+    if argv is None:
+        argv = sys.argv[1:]
+    # argparse's REMAINDER does not capture leading optionals after the
+    # subcommand (`train --config x` errors), so dispatch passthrough
+    # subcommands before argparse sees their flags
+    if argv and argv[0] in _PASSTHROUGH:
+        from realpdebench_tpu.train.__main__ import main as train_main
+        from realpdebench_tpu.eval.__main__ import main as eval_main
+        from realpdebench_tpu.tools.convert_hdf5_to_hf import main as convert_main
+        from realpdebench_tpu.train.surrogate import main as surrogate_main
+
+        target = {"train": train_main, "eval": eval_main,
+                  "train-surrogate": surrogate_main,
+                  "convert": convert_main}[argv[0]]
+        raise SystemExit(_run_module(target, argv[1:]))
     parser = build_parser()
     args = parser.parse_args(argv)
     rc = args.func(args)

@@ -21,11 +21,33 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from realpdebench_tpu.ops.activations import gelu as act_gelu
 
 from realpdebench_tpu.ops.spectral import grid_features, truncated_spectral_conv3d
+
+
+def _spectral_params(module: nn.Module, in_channels: int, out_channels: int,
+                     modes1: int, modes2: int, modes3: int):
+    """Declare the 4-corner spectral weights on ``module``.
+
+    torch.rand on cfloat draws U[0,1) for real and imag independently
+    (fno.py:31-38); mirror that init."""
+    scale = 1.0 / (in_channels * out_channels)
+    shape = (4, in_channels, out_channels, modes1, modes2, modes3)
+    w_real = module.param(
+        "w_real", lambda k: scale * jnp.asarray(
+            nn.initializers.uniform(scale=1.0)(k, shape, jnp.float32)
+        )
+    )
+    w_imag = module.param(
+        "w_imag", lambda k: scale * jnp.asarray(
+            nn.initializers.uniform(scale=1.0)(k, shape, jnp.float32)
+        )
+    )
+    return w_real, w_imag
 
 
 class SpectralConv3d(nn.Module):
@@ -38,30 +60,93 @@ class SpectralConv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        scale = 1.0 / (self.in_channels * self.out_channels)
-        shape = (
-            4,
-            self.in_channels,
-            self.out_channels,
-            self.modes1,
-            self.modes2,
-            self.modes3,
-        )
-        # torch.rand on cfloat draws U[0,1) for real and imag independently
-        # (fno.py:31-38); mirror that init.
-        w_real = self.param(
-            "w_real", lambda k: scale * jnp.asarray(
-                nn.initializers.uniform(scale=1.0)(k, shape, jnp.float32)
-            )
-        )
-        w_imag = self.param(
-            "w_imag", lambda k: scale * jnp.asarray(
-                nn.initializers.uniform(scale=1.0)(k, shape, jnp.float32)
-            )
+        w_real, w_imag = _spectral_params(
+            self, self.in_channels, self.out_channels,
+            self.modes1, self.modes2, self.modes3,
         )
         return truncated_spectral_conv3d(
             x, w_real, w_imag, compute_dtype=self.compute_dtype
         )
+
+
+class _SpectralParams(nn.Module):
+    """Param-holder twin of SpectralConv3d for the fused path (identical
+    param tree: <name>/w_real, <name>/w_imag)."""
+
+    channels: int
+    modes1: int
+    modes2: int
+    modes3: int
+
+    @nn.compact
+    def __call__(self):
+        return _spectral_params(self, self.channels, self.channels,
+                                self.modes1, self.modes2, self.modes3)
+
+
+class _DenseParams(nn.Module):
+    """Param-holder twin of nn.Dense (kernel/bias, same initializers)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Param/state-holder twin of nn.BatchNorm: params scale/bias, running
+    batch_stats mean/var — same tree as the unfused path's `bn` module."""
+
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None, update: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,)))
+        if update and not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * jax.lax.stop_gradient(
+                batch_mean)
+            ra_var.value = m * ra_var.value + (1 - m) * jax.lax.stop_gradient(
+                batch_var)
+        return scale, bias, ra_mean.value, ra_var.value
+
+
+class _FNOLayerParams(nn.Module):
+    """Param tree for one fused layer, mirroring FNOLayer's names exactly:
+    <layer>/spectral/{w_real,w_imag}, <layer>/pointwise/{kernel,bias},
+    <layer>/bn/{scale,bias} (+ batch_stats <layer>/bn/{mean,var})."""
+
+    width: int
+    modes1: int
+    modes2: int
+    modes3: int
+
+    @nn.compact
+    def __call__(self):
+        w_real, w_imag = _SpectralParams(
+            self.width, self.modes1, self.modes2, self.modes3,
+            name="spectral")()
+        kernel, bias = _DenseParams(self.width, self.width,
+                                    name="pointwise")()
+        bn = _BNParams(self.width, name="bn")
+
+        def bn_apply(batch_mean, batch_var, train):
+            return bn(batch_mean=batch_mean, batch_var=batch_var,
+                      update=train)
+
+        return w_real, w_imag, kernel, bias, bn_apply
 
 
 class FNOLayer(nn.Module):
@@ -97,7 +182,25 @@ class FNOLayer(nn.Module):
         return x
 
 
+def _fused_supported(Wp: int) -> bool:
+    """The packed-lane pallas path needs an even padded W and a TPU."""
+    import jax as _jax
+
+    if Wp % 2 != 0:
+        return False
+    try:
+        return _jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 class FNO3d(nn.Module):
+    """``use_pallas``: None → auto (fused Cooley–Tukey pallas kernels on TPU
+    when shapes allow, reference XLA path otherwise); True/False forces.
+    ``pallas_interpret`` runs the kernels in interpreter mode (CPU tests).
+    Both paths share one parameter/batch_stats tree (checkpoint-compatible).
+    """
+
     modes1: int
     modes2: int
     modes3: int
@@ -108,6 +211,8 @@ class FNO3d(nn.Module):
     padding: int = 6
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = True
+    use_pallas: bool | None = None
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -128,15 +233,22 @@ class FNO3d(nn.Module):
         p = self.padding
         x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, p), (0, 0)))
 
-        layer_cls = (
-            nn.remat(FNOLayer, static_argnums=(2,)) if self.remat else FNOLayer
-        )
-        for i in range(self.n_layers):
-            x = layer_cls(
-                self.width, self.modes1, self.modes2, self.modes3,
-                apply_gelu=i < self.n_layers - 1, compute_dtype=dt,
-                name=f"layer_{i}",
-            )(x, train)
+        fused = self.use_pallas
+        if fused is None:
+            fused = _fused_supported(W + p) and not self.is_initializing()
+        if fused:
+            x = self._fused_stack(x, train)
+        else:
+            layer_cls = (
+                nn.remat(FNOLayer, static_argnums=(2,)) if self.remat
+                else FNOLayer
+            )
+            for i in range(self.n_layers):
+                x = layer_cls(
+                    self.width, self.modes1, self.modes2, self.modes3,
+                    apply_gelu=i < self.n_layers - 1, compute_dtype=dt,
+                    name=f"layer_{i}",
+                )(x, train)
 
         x = x[:, :-p, :-p, :-p, :]
         x = nn.Dense(128, name="fc1", dtype=dt)(x)
@@ -148,3 +260,53 @@ class FNO3d(nn.Module):
         x = x.reshape(B, T, H, W, c_out, mult)
         x = jnp.transpose(x, (0, 1, 5, 2, 3, 4))
         return x.reshape(B, t_out, H, W, c_out)
+
+    def _fused_stack(self, x5, train: bool):
+        """All spectral layers through the fused pallas kernels.
+
+        The stored inter-layer tensor is the pre-BN ``s``; each layer's
+        kernels fold the previous layer's BN affine + GELU at their inputs
+        (ops/pallas/fno_layer.py). Param/batch_stats tree matches the
+        unfused path exactly (layer_i/{spectral,pointwise,bn})."""
+        from realpdebench_tpu.ops.pallas.fno_layer import (
+            flatten_cw, fused_fno_layer, unflatten_cw,
+        )
+        from realpdebench_tpu.ops.activations import _use_approximate
+
+        B, Tp, Hp, Wp, C = x5.shape
+        n_pos = B * Tp * Hp * Wp
+        dims = (B, Tp, Hp, Wp, C)
+        # GELU variant matches ops/activations.gelu's platform selection so
+        # fused and unfused paths compute the same function
+        act_variant = "tanh" if _use_approximate() else "exact"
+
+        # keep the model's compute dtype for HBM storage (bf16 halves the
+        # dominant kernel traffic); all kernel arithmetic is f32 internally
+        xf = flatten_cw(x5)
+        a = jnp.ones((1, C), jnp.float32)
+        b = jnp.zeros((1, C), jnp.float32)
+        act = "none"
+        for i in range(self.n_layers):
+            holder = _FNOLayerParams(
+                C, self.modes1, self.modes2, self.modes3, name=f"layer_{i}")
+            w_real, w_imag, wp_k, bp_k, bn_apply = holder()
+            s, stats128 = fused_fno_layer(
+                xf, a, b, w_real, w_imag, wp_k, bp_k[None],
+                dims=dims, act=act, interpret=self.pallas_interpret,
+            )
+            ch = stats128[:, :C] + stats128[:, C:]
+            batch_mean = ch[0] / n_pos
+            batch_var = ch[1] / n_pos - batch_mean**2
+            scale, bias, ra_mean, ra_var = bn_apply(batch_mean, batch_var,
+                                                    train)
+            mean, var = ((batch_mean, batch_var) if train
+                         else (ra_mean, ra_var))
+            a = (scale / jnp.sqrt(var + 1e-5))[None]
+            b = (bias - mean * a[0])[None]
+            xf = s
+            act = act_variant
+        # final BN affine (no GELU after the last layer, fno.py:121-129)
+        a2 = jnp.concatenate([a, a], axis=1)
+        b2 = jnp.concatenate([b, b], axis=1)
+        zf = xf * a2[:, None, :] + b2[:, None, :]
+        return unflatten_cw(zf, B, Tp, Hp, Wp, C)

@@ -35,6 +35,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
     if model_name == "fno":
         from realpdebench_tpu.models.fno import FNO3d
 
+        use_pallas = kwargs.get("use_pallas")  # None → auto (TPU only)
         module = FNO3d(
             modes1=kwargs["modes1"],
             modes2=kwargs["modes2"],
@@ -45,6 +46,8 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             shape_out=shape_out,
             compute_dtype=compute_dtype,
             remat=bool(kwargs.get("remat", True)),
+            use_pallas=None if use_pallas is None else bool(use_pallas),
+            pallas_interpret=bool(kwargs.get("pallas_interpret", False)),
         )
         return ModelBundle(
             name="fno", module=module, mutable=("batch_stats",),

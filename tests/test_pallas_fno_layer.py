@@ -1,0 +1,191 @@
+"""Fused FNO-layer kernel parity: pallas (interpret mode on CPU) vs the
+pure-jnp oracle built on ops/spectral.truncated_spectral_conv3d_dft (which is
+itself golden-tested against rfftn/irfftn and the torch reference).
+
+Layout under test: packed lanes (w-parity, channel) — x is
+[B*Tp, Hp*(Wp//2), 2C]; per-(parity, channel) BN statistics [2, 2C] fold to
+per-channel by summing the halves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realpdebench_tpu.ops.pallas.fno_layer import (
+    flatten_cw,
+    fused_fno_layer,
+    reference_fused_fno_layer,
+    unflatten_cw,
+)
+
+# small but non-square dims to catch axis mixups; Wp must be even
+B, Tp, Hp, Wp, C = 2, 6, 10, 12, 8
+M1, M2, M3 = 2, 3, 4
+DIMS = (B, Tp, Hp, Wp, C)
+NPOS = B * Tp * Hp * Wp
+
+
+def _fold(stats):
+    return stats[:, :C] + stats[:, C:]
+
+
+def _inputs(seed=0):
+    r = np.random.default_rng(seed)
+    x = r.normal(size=(B * Tp, Hp * (Wp // 2), 2 * C)).astype(np.float32)
+    a = (1.0 + 0.1 * r.normal(size=(1, C))).astype(np.float32)
+    b = (0.1 * r.normal(size=(1, C))).astype(np.float32)
+    wr = (0.2 * r.normal(size=(4, C, C, M1, M2, M3))).astype(np.float32)
+    wi = (0.2 * r.normal(size=(4, C, C, M1, M2, M3))).astype(np.float32)
+    wp = (0.3 * r.normal(size=(C, C))).astype(np.float32)
+    bp = (0.1 * r.normal(size=(1, C))).astype(np.float32)
+    return tuple(map(jnp.asarray, (x, a, b, wr, wi, wp, bp)))
+
+
+def test_flatten_roundtrip(rng):
+    x5 = rng.normal(size=(B, Tp, Hp, Wp, C)).astype(np.float32)
+    flat = flatten_cw(jnp.asarray(x5))
+    assert flat.shape == (B * Tp, Hp * (Wp // 2), 2 * C)
+    back = unflatten_cw(flat, *DIMS)
+    np.testing.assert_array_equal(np.asarray(back), x5)
+
+
+@pytest.mark.parametrize("act", ["none", "tanh", "exact"])
+def test_fused_layer_forward_parity(act):
+    args = _inputs()
+    s, stats = fused_fno_layer(*args, dims=DIMS, act=act, interpret=True)
+    s_ref, stats_ref = reference_fused_fno_layer(*args, dims=DIMS, act=act)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(_fold(stats)),
+                               np.asarray(_fold(stats_ref)),
+                               rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("act", ["none", "tanh"])
+def test_fused_layer_grad_parity(act):
+    args = _inputs(seed=1)
+
+    def loss(fn):
+        def run(*a):
+            s, stats = fn(*a)
+            ch = _fold(stats)
+            mean = ch[0] / NPOS
+            var = ch[1] / NPOS - mean**2
+            return jnp.sum(s * s) * 1e-3 + jnp.sum(var) + jnp.sum(mean**2)
+        return run
+
+    fused = loss(lambda *a: fused_fno_layer(*a, dims=DIMS, act=act,
+                                            interpret=True))
+    ref = loss(lambda *a: reference_fused_fno_layer(*a, dims=DIMS, act=act))
+    gf = jax.grad(fused, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    gr = jax.grad(ref, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    names = ["x", "a", "b", "w_real", "w_imag", "wp", "bp"]
+    for n, f, r in zip(names, gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(r), rtol=2e-3, atol=2e-3,
+            err_msg=f"grad mismatch for {n}")
+
+
+def test_fused_layer_chained_two_layers():
+    """Two chained fused layers with BN folding between them — the actual
+    usage pattern inside FNO3d (folded stats of layer 0 become the input
+    affine of layer 1)."""
+    args = _inputs(seed=2)
+    x, a, b, wr, wi, wp, bp = args
+    gamma = jnp.asarray(np.random.default_rng(3).normal(size=(C,)) * 0.1 + 1,
+                        jnp.float32)
+    beta = jnp.zeros((C,), jnp.float32)
+
+    def chain(l1, l2):
+        def run(x):
+            s, stats = l1(x, a, b, wr, wi, wp, bp)
+            ch = _fold(stats)
+            mean = ch[0] / NPOS
+            var = ch[1] / NPOS - mean**2
+            a2 = (gamma / jnp.sqrt(var + 1e-5))[None]
+            b2 = (beta - mean * a2[0])[None]
+            s2, _ = l2(s, a2, b2, wr, wi, wp, bp)
+            return jnp.mean(s2**2), s2
+        return run
+
+    f1 = lambda *q: fused_fno_layer(*q, dims=DIMS, act="none", interpret=True)
+    f2 = lambda *q: fused_fno_layer(*q, dims=DIMS, act="tanh", interpret=True)
+    r1 = lambda *q: reference_fused_fno_layer(*q, dims=DIMS, act="none")
+    r2 = lambda *q: reference_fused_fno_layer(*q, dims=DIMS, act="tanh")
+
+    (lf, sf), gx_f = jax.value_and_grad(chain(f1, f2), has_aux=True)(x)
+    (lr, sr), gx_r = jax.value_and_grad(chain(r1, r2), has_aux=True)(x)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(sr),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fno3d_fused_path_matches_unfused():
+    """Full-module parity: FNO3d with use_pallas=True (interpret) against the
+    reference XLA path — identical param tree, matching train-mode outputs,
+    BN running-stat updates, and eval-mode outputs."""
+    from realpdebench_tpu.models.fno import FNO3d
+
+    si = so = (4, 12, 12, 3)
+    kw = dict(modes1=2, modes2=3, modes3=3, n_layers=2, width=8,
+              shape_in=si, shape_out=so, padding=6)
+    m_ref = FNO3d(**kw, use_pallas=False, remat=False)
+    m_fus = FNO3d(**kw, use_pallas=True, pallas_interpret=True)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(2, *si)).astype(np.float32))
+    v = m_ref.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = m_fus.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+
+    o1, upd1 = m_ref.apply(v, x, True, mutable=["batch_stats"])
+    o2, upd2 = m_fus.apply(v, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-3, atol=2e-3)
+    for lyr in ("layer_0", "layer_1"):
+        for stat in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(upd1["batch_stats"][lyr]["bn"][stat]),
+                np.asarray(upd2["batch_stats"][lyr]["bn"][stat]),
+                rtol=2e-3, atol=2e-4, err_msg=f"{lyr}/{stat}")
+
+    e1 = m_ref.apply(v, x, False)
+    e2 = m_fus.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fno3d_fused_grad_matches_unfused():
+    """Gradient parity of the full module (train mode), fused vs unfused."""
+    from realpdebench_tpu.models.fno import FNO3d
+
+    si = so = (4, 12, 12, 3)
+    kw = dict(modes1=2, modes2=3, modes3=3, n_layers=2, width=8,
+              shape_in=si, shape_out=so, padding=6)
+    m_ref = FNO3d(**kw, use_pallas=False, remat=False)
+    m_fus = FNO3d(**kw, use_pallas=True, pallas_interpret=True)
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.normal(size=(2, *si)).astype(np.float32))
+    y = jnp.asarray(r.normal(size=(2, *si)).astype(np.float32))
+    v = m_ref.init(jax.random.PRNGKey(0), x, train=False)
+    params = v["params"]
+    bs = {"batch_stats": v["batch_stats"]}
+
+    def loss(m):
+        def f(p):
+            out, _ = m.apply({"params": p, **bs}, x, True,
+                             mutable=["batch_stats"])
+            return jnp.mean((out - y) ** 2)
+        return f
+
+    l1, g1 = jax.value_and_grad(loss(m_ref))(params)
+    l2, g2 = jax.value_and_grad(loss(m_fus))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-3)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    for path, leaf in flat1:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat2[path]), rtol=5e-3, atol=5e-3,
+            err_msg=str(path))

@@ -1,0 +1,193 @@
+"""Per-model train-step throughput on the real chip at reference scale.
+
+VERDICT round-1 item 2: measure every trainable family at its reference
+cylinder configuration (configs/cylinder/*.yaml batch sizes and model
+hyperparameters) and record steps/s/chip in MODEL_BENCH.md.
+
+Method notes (hard-won on this runtime):
+  * each model runs in a SUBPROCESS — one async failure poisons the host
+    process (NOTES.md gotcha 9);
+  * timing barrier is a device_get of the loss scalar — block_until_ready
+    can return before the async dispatch queue drains on this runtime;
+  * batches are synthesized on device (the host link is a slow tunnel).
+
+Usage:
+    python tools/model_bench.py [model ...]      # default: all
+    python tools/model_bench.py --write-md       # also rewrite MODEL_BENCH.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SH = (20, 64, 128, 3)  # cylinder window (T, H, W, C)
+
+# Reference-scale settings: model kwargs from configs/cylinder/*.yaml,
+# batch = the reference train_batch_size, accum chosen so activations fit
+# one 16 GB v5e chip (documented deviation: ghost-batch BN under accum).
+MODELS = {
+    "fno": dict(
+        kw=dict(model_name="fno", modes1=4, modes2=12, modes3=16, n_layers=4,
+                width=64, compute_dtype="bfloat16", remat=False),
+        batch=32, accum=4),
+    "deeponet": dict(
+        kw=dict(model_name="deeponet", p=128, dropout_rate=0.1),
+        batch=32, accum=1),
+    "unet": dict(
+        kw=dict(model_name="unet", dim_mults=[1, 2, 4],
+                compute_dtype="bfloat16", remat=True),
+        batch=12, accum=4),
+    "cno": dict(
+        kw=dict(model_name="cno", N_layers=3, N_res=1, N_res_neck=6,
+                channel_multiplier=32, latent_lift_proj_dim=64,
+                activation="LeakyReLU"),
+        batch=16, accum=4),
+    "mwt": dict(
+        kw=dict(model_name="mwt", k=3, alpha=5, c=4, nCZ=4, base="legendre",
+                L=0),
+        batch=32, accum=4),
+    "galerkin_transformer": dict(
+        kw=dict(model_name="galerkin_transformer", n_hidden=256,
+                num_encoder_layers=4, n_head=4, dim_feedforward=256,
+                fourier_modes_x=16, fourier_modes_y=20, fourier_modes_t=4,
+                num_regressor_layers=2, freq_dim=128, encoder_dropout=0.05),
+        batch=16, accum=4),
+    "transolver": dict(
+        kw=dict(model_name="transolver", space_dim=3, n_layers=1,
+                n_hidden=256, n_head=8, H=128, W=64, D=20, fun_dim=0,
+                out_dim=3, ref=8, dropout=0.1, act="gelu", mlp_ratio=1,
+                slice_num=16),
+        batch=16, accum=4),
+    "dpot": dict(
+        kw=dict(model_name="dpot", img_size=128, in_channels=4,
+                out_channels=4, in_timesteps=20, out_timesteps=20,
+                patch_size=8, embed_dim=1024, depth=6, n_blocks=8, modes=32,
+                mlp_ratio=1, out_layer_dim=32, normalize=False, act="gelu",
+                time_agg="exp_mlp", n_cls=1, compute_dtype="bfloat16"),
+        batch=16, accum=8),
+    "wdno": dict(
+        kw=dict(model_name="wdno", dim=256, dim_mults=[1, 2],
+                wave_type="bior1.1", pad_mode="zero", beta_schedule="sigmoid",
+                timesteps=1000, sampling_timesteps=10, ddim_sampling_eta=1.0),
+        batch=16, accum=8),
+}
+
+
+def run_one(name: str, n_steps: int = 8) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realpdebench_tpu.config import Config
+    from realpdebench_tpu.data.normalizer import IdentityNormalizer
+    from realpdebench_tpu.models.registry import build_model
+    from realpdebench_tpu.train.train_step import (
+        TrainState, build_optimizer, make_train_step,
+    )
+
+    spec = MODELS[name]
+    bs, accum = spec["batch"], spec["accum"]
+    key = jax.random.PRNGKey(0)
+    kx, ky, key = jax.random.split(key, 3)
+    x = jax.jit(lambda k: 0.3 * jax.random.normal(
+        k, (bs, *SH), jnp.float32))(kx)
+    y = jax.jit(lambda k: 0.3 * jax.random.normal(
+        k, (bs, *SH), jnp.float32))(ky)
+
+    bundle = build_model(shapes=(SH, SH), **spec["kw"])
+    v = bundle.init(jax.random.PRNGKey(0), np.zeros((1, *SH), np.float32))
+    params, ms = bundle.split_variables(v)
+    n_params = bundle.param_count(v)
+    cfg = Config(lr=1e-4, scheduler="cosine", num_update=4000)
+    state = TrainState.create(params, ms, build_optimizer(cfg))
+    step = make_train_step(bundle, IdentityNormalizer(), grad_accum=accum)
+
+    t0 = time.time()
+    state, loss = step(state, x, y, key)
+    _ = float(np.asarray(jax.device_get(loss)))
+    compile_s = time.time() - t0
+
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            key, k = jax.random.split(key)
+            state, loss = step(state, x, y, k)
+        _ = float(np.asarray(jax.device_get(loss)))
+        rates.append(n_steps / (time.perf_counter() - t0))
+    rates.sort()
+    return dict(
+        model=name, batch=bs, grad_accum=accum,
+        steps_per_sec=round(rates[1], 3),
+        ms_per_step=round(1000.0 / rates[1], 1),
+        compile_s=round(compile_s, 1), n_params=int(n_params),
+        spread=round((rates[-1] - rates[0]) / rates[1], 3),
+    )
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    write_md = "--write-md" in sys.argv
+    names = args or list(MODELS)
+    results = []
+    for name in names:
+        cmd = [sys.executable, os.path.abspath(__file__), "--one", name]
+        env = dict(os.environ)
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=2400, env=env)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            if line:
+                res = json.loads(line[-1])
+            else:
+                tail = (out.stderr or out.stdout).strip().splitlines()[-4:]
+                res = dict(model=name, error=" | ".join(tail)[-300:])
+        except subprocess.TimeoutExpired:
+            res = dict(model=name, error="timeout")
+        results.append(res)
+        print(json.dumps(res))
+    if write_md:
+        write_table(results)
+    return results
+
+
+def write_table(results):
+    lines = [
+        "# MODEL_BENCH — train steps/s/chip at reference cylinder scale",
+        "",
+        "Measured by `tools/model_bench.py` on one TPU v5e chip; device-",
+        "synthesized batches; batch sizes from `configs/cylinder/*.yaml`;",
+        "`grad_accum` chosen to fit 16 GB HBM (ghost-batch BN deviation",
+        "documented in train/train_step.py). Median of 3 windows, loss-fetch",
+        "barrier per window.",
+        "",
+        "| model | batch | accum | steps/s/chip | ms/step | params | spread |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        if "error" in r:
+            lines.append(f"| {r['model']} | - | - | ERROR | - | - | "
+                         f"{r['error'][:80]} |")
+        else:
+            lines.append(
+                f"| {r['model']} | {r['batch']} | {r['grad_accum']} | "
+                f"{r['steps_per_sec']} | {r['ms_per_step']} | "
+                f"{r['n_params']:,} | {r['spread']} |")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "MODEL_BENCH.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    if "--one" in sys.argv:
+        name = sys.argv[sys.argv.index("--one") + 1]
+        print(json.dumps(run_one(name)))
+    else:
+        main()
