@@ -228,17 +228,20 @@ class FNO3d(nn.Module):
         x = jnp.concatenate([x.astype(jnp.float32), grid], axis=-1)
 
         dt = self.compute_dtype
-        x = nn.Dense(self.width, name="fc0", dtype=dt)(x)
-        # end-pad (T, H, W) for non-periodic domains (fno.py:111)
         p = self.padding
-        x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, p), (0, 0)))
-
         fused = self.use_pallas
         if fused is None:
-            fused = _fused_supported(W + p) and not self.is_initializing()
+            fused = (_fused_supported(W + p) and W % 2 == 0
+                     and not self.is_initializing())
         if fused:
-            x = self._fused_stack(x, train)
+            # entirely in the packed-lane flat layout: the 5-D channels-last
+            # tensors (64 lanes → 2x tile padding, pad/slice/flatten copies)
+            # never materialize between fc0 and fc2
+            x = self._fused_forward(x, train, c_out * mult)
         else:
+            x = nn.Dense(self.width, name="fc0", dtype=dt)(x)
+            # end-pad (T, H, W) for non-periodic domains (fno.py:111)
+            x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, p), (0, 0)))
             layer_cls = (
                 nn.remat(FNOLayer, static_argnums=(2,)) if self.remat
                 else FNOLayer
@@ -249,11 +252,10 @@ class FNO3d(nn.Module):
                     apply_gelu=i < self.n_layers - 1, compute_dtype=dt,
                     name=f"layer_{i}",
                 )(x, train)
-
-        x = x[:, :-p, :-p, :-p, :]
-        x = nn.Dense(128, name="fc1", dtype=dt)(x)
-        x = act_gelu(x)
-        x = nn.Dense(c_out * mult, name="fc2", dtype=dt)(x)
+            x = x[:, :-p, :-p, :-p, :]
+            x = nn.Dense(128, name="fc1", dtype=dt)(x)
+            x = act_gelu(x)
+            x = nn.Dense(c_out * mult, name="fc2", dtype=dt)(x)
         x = x.astype(jnp.float32)
 
         # [B,T,H,W,c_out*mult] -> [B,T,H,W,c_out,mult] -> [B,T,mult,H,W,c_out]
@@ -261,28 +263,53 @@ class FNO3d(nn.Module):
         x = jnp.transpose(x, (0, 1, 5, 2, 3, 4))
         return x.reshape(B, t_out, H, W, c_out)
 
-    def _fused_stack(self, x5, train: bool):
-        """All spectral layers through the fused pallas kernels.
+    def _fused_forward(self, xg, train: bool, out_features: int):
+        """Head (fc0) → spectral stack → tail (fc1/fc2), all in the packed
+        (w-parity, channel) flat layout.
 
+        The pointwise Dense layers run as block-diagonal ``[[K,0],[0,K]]``
+        einsums on the packed lanes, so the channels-last 5-D tensors with
+        64-lane tile padding never exist; T/H/W end-padding happens on the
+        flat tensor with 128 lanes minor (tile-aligned pad, no relayout).
         The stored inter-layer tensor is the pre-BN ``s``; each layer's
         kernels fold the previous layer's BN affine + GELU at their inputs
         (ops/pallas/fno_layer.py). Param/batch_stats tree matches the
-        unfused path exactly (layer_i/{spectral,pointwise,bn})."""
-        from realpdebench_tpu.ops.pallas.fno_layer import (
-            flatten_cw, fused_fno_layer, unflatten_cw,
-        )
+        unfused path exactly (fc0/fc1/fc2 + layer_i/{spectral,pointwise,bn})."""
+        from realpdebench_tpu.ops.pallas.fno_layer import fused_fno_layer
         from realpdebench_tpu.ops.activations import _use_approximate
 
-        B, Tp, Hp, Wp, C = x5.shape
+        B, T, H, W, cin = xg.shape
+        p, C = self.padding, self.width
+        Tp, Hp, Wp = T + p, H + p, W + p
+        J0, Jp, C2 = W // 2, Wp // 2, 2 * C
+        dt = self.compute_dtype
+
+        def bdiag(k):
+            ci, co = k.shape
+            z = jnp.zeros((ci, co), k.dtype)
+            return jnp.concatenate(
+                [jnp.concatenate([k, z], axis=1),
+                 jnp.concatenate([z, k], axis=1)], axis=0)
+
+        def tile2(v):
+            return jnp.concatenate([v, v], axis=0)
+
+        # --- head: fc0 on packed lanes
+        k0, b0 = _DenseParams(C, cin, name="fc0")()
+        xh = xg.reshape(B * T, H * J0, 2 * cin)
+        xf = (jnp.einsum("rjc,cd->rjd", xh.astype(dt), bdiag(k0).astype(dt))
+              + tile2(b0).astype(dt))
+        # --- end-pad (T, H, W) in flat space: lanes (=128) stay minor
+        x4 = xf.reshape(B, T, H, J0, C2)
+        x4 = jnp.pad(x4, ((0, 0), (0, p), (0, p), (0, Jp - J0), (0, 0)))
+        xf = x4.reshape(B * Tp, Hp * Jp, C2)
+
+        # --- spectral stack
         n_pos = B * Tp * Hp * Wp
         dims = (B, Tp, Hp, Wp, C)
         # GELU variant matches ops/activations.gelu's platform selection so
         # fused and unfused paths compute the same function
         act_variant = "tanh" if _use_approximate() else "exact"
-
-        # keep the model's compute dtype for HBM storage (bf16 halves the
-        # dominant kernel traffic); all kernel arithmetic is f32 internally
-        xf = flatten_cw(x5)
         a = jnp.ones((1, C), jnp.float32)
         b = jnp.zeros((1, C), jnp.float32)
         act = "none"
@@ -306,7 +333,18 @@ class FNO3d(nn.Module):
             xf = s
             act = act_variant
         # final BN affine (no GELU after the last layer, fno.py:121-129)
-        a2 = jnp.concatenate([a, a], axis=1)
-        b2 = jnp.concatenate([b, b], axis=1)
-        zf = xf * a2[:, None, :] + b2[:, None, :]
-        return unflatten_cw(zf, B, Tp, Hp, Wp, C)
+        a2 = jnp.concatenate([a, a], axis=1)[:, None, :]
+        b2 = jnp.concatenate([b, b], axis=1)[:, None, :]
+
+        # --- tail: un-pad + fc1 + gelu + fc2 on packed lanes
+        z4 = xf.reshape(B, Tp, Hp, Jp, C2)[:, :T, :H, :J0]
+        zt = (z4.reshape(B * T, H * J0, C2) * a2 + b2).astype(dt)
+        k1_, b1_ = _DenseParams(128, C, name="fc1")()
+        h1 = act_gelu(jnp.einsum("rjc,cd->rjd", zt, bdiag(k1_).astype(dt))
+                      + tile2(b1_).astype(dt))
+        k2_, b2_ = _DenseParams(out_features, 128, name="fc2")()
+        o2 = (jnp.einsum("rjc,cd->rjd", h1, bdiag(k2_).astype(dt))
+              + tile2(b2_).astype(dt))
+        # unpack (w-parity, c) lanes → [B, T, H, W, out_features]
+        o6 = o2.reshape(B, T, H, J0, 2, out_features)
+        return o6.reshape(B, T, H, W, out_features)

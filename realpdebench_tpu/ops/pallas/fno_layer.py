@@ -7,7 +7,7 @@ profile showed XLA's lowering is HBM-bound: no dimension of the
 every materialized tensor tile-pads ~2x, and BatchNorm forces full-size
 elementwise round-trips.
 
-TPU-native design (v2 — shaped by empirical Mosaic-support probing on this
+TPU-native design (v3 — shaped by empirical Mosaic-support probing on this
 toolchain: tile-aligned lane splits/merges and sublane reshapes are free,
 arbitrary lane reshapes are unsupported, dots may contract dim1-of-3D /
 minormost / dim0-of-2D only, and 3-D rhs operands are unsupported):
@@ -19,19 +19,26 @@ minormost / dim0-of-2D only, and 3-D rhs operands are unsupported):
     w-pair axis j against the half-length DFT matrix (the 128 packed lanes
     ride through as a free dimension), then a cheap twiddle combine of the
     two parities on the small truncated spectrum — no big-tensor slices;
+  * every complex matrix pair is packed [re | im] into ONE wider dot
+    (halves the batched-small-matmul MXU pass count, the per-block cost
+    driver at K=67/N<=48);
   * the BN affine + GELU of the *previous* layer is folded into this
     layer's kernels: the stored tensor is always the pre-BN ``s`` and both
     consumers recompute ``z = gelu(a*s + b)`` on the fly — normalized
     activations are never written to HBM;
   * the pointwise 1x1 conv runs as ONE dot against a block-diagonal
     ``[[Wp,0],[0,Wp]]`` 128x128 matrix, so the packed lanes never split;
-  * kernel K1 = affine+gelu + truncated forward (W, H) DFT; the tiny
-    T-DFT + 4-corner weight mixing + inverse T runs in plain XLA between
-    the kernels (autodiff covers the spectral-weight gradients); kernel
-    K2 = inverse (H, W) DFT + pointwise + add + BN statistics;
-  * both kernels carry hand-written ``custom_vjp`` backward kernels with
-    the same single-pass structure (BN-statistic cotangents fold into the
-    K2 backward's elementwise chain).
+  * forward: kernel K1 = affine+gelu + truncated forward (W, H) DFT; the
+    tiny T-DFT + 4-corner weight mixing + inverse T runs in plain XLA
+    between the kernels; kernel K2 = inverse (H, W) DFT + pointwise + add
+    + BN statistics;
+  * backward: the WHOLE layer is one ``custom_vjp``. Kernel K2A computes
+    the spectral cotangent dg from (s, ds, BN-stat cotangents); the XLA
+    mid-section vjp maps dg → (dy, dw); kernel K12B then produces a
+    SINGLE combined dx through both the spectral and pointwise consumers
+    of z (plus dwp/daffine/dbias accumulators) in one pass — the input
+    activation is read once and the two dx contributions are summed
+    in-register instead of through an HBM-level add.
 
 The math is identical to ops/spectral.py's truncated-DFT path (exact to
 float rounding); golden tests compare against it in interpret mode.
@@ -86,17 +93,19 @@ def _act_grad(u, variant: str):
 
 @functools.lru_cache(maxsize=32)
 def _ct_consts(Hp: int, Wp: int, m2: int, m3: int):
-    """Cooley–Tukey factor matrices (f32 numpy), all kernel-ready:
+    """Cooley–Tukey factor matrices (f32 numpy), all kernel-ready. Complex
+    pairs are packed [re | im] column-wise so each consumer is ONE dot:
 
-      E67  [J, 2m3]   half-length forward DFT over w-pairs, [cos | -sin]
-      twR/twI [1, m3] forward twiddles e^{-2πi m / Wp}
-      EhR/EhI [Hp, 2m2]   forward H DFT
-      EhRT/EhIT [2m2, Hp] their transposes (K1 backward)
-      IhR/IhI [2m2, Hp]   inverse H
-      IhRT/IhIT [Hp, 2m2] their transposes (K2 backward)
-      IwRE/IwRO/IwIE/IwIO [m3, J]  inverse rfft-axis matrices split by
-                                   output-column parity (Hermitian-doubled)
-      and their transposes [J, m3] for the K2 backward.
+      E67   [J, 2m3]    half-length forward DFT over w-pairs, [cos | -sin]
+      twR/twI [1, m3]   forward twiddles e^{-2πi m / Wp}
+      EhP   [Hp, 4m2]   forward H DFT packed [EhR | EhI]
+      EhPT  [2m2, 2Hp]  its transpose pair [EhR.T | EhI.T] (K12B adjoint H)
+      IhP   [2m2, 2Hp]  inverse H packed [IhR | IhI]
+      IhPT  [Hp, 4m2]   [IhR.T | IhI.T] (K2A adjoint inverse H)
+      IwE2/IwO2 [2m3, J]   inverse rfft-axis matrices for even/odd output
+                           columns, stacked [re; im] row-wise so the
+                           (ihR‖ihI) lane-concat contracts in one dot
+      IwET/IwOT [J, 2m3]   their transposes packed [re.T | im.T] (K2A)
     """
     assert Wp % 2 == 0, "packed-lane kernels require an even padded W"
     J = Wp // 2
@@ -109,39 +118,27 @@ def _ct_consts(Hp: int, Wp: int, m2: int, m3: int):
     E67 = np.concatenate([np.cos(theta), -np.sin(theta)], axis=1)
     tw = np.exp(-2j * np.pi * np.arange(m3) / Wp)
 
-    c = dict(
-        E67=E67.astype(np.float32),
-        twR=tw.real.astype(np.float32)[None],
-        twI=tw.imag.astype(np.float32)[None],
-        EhR=np.ascontiguousarray(Eh.real.astype(np.float32)),
-        EhI=np.ascontiguousarray(Eh.imag.astype(np.float32)),
-        EhRT=np.ascontiguousarray(Eh.real.T.astype(np.float32)),
-        EhIT=np.ascontiguousarray(Eh.imag.T.astype(np.float32)),
-        IhR=np.ascontiguousarray(Ih.real.astype(np.float32)),
-        IhI=np.ascontiguousarray(Ih.imag.astype(np.float32)),
-        IhRT=np.ascontiguousarray(Ih.real.T.astype(np.float32)),
-        IhIT=np.ascontiguousarray(Ih.imag.T.astype(np.float32)),
-        IwRE=np.ascontiguousarray(Iw_re[:, 0::2]),
-        IwRO=np.ascontiguousarray(Iw_re[:, 1::2]),
-        IwIE=np.ascontiguousarray(Iw_im[:, 0::2]),
-        IwIO=np.ascontiguousarray(Iw_im[:, 1::2]),
+    f32 = lambda a: np.ascontiguousarray(np.asarray(a, np.float32))
+    EhR, EhI = f32(Eh.real), f32(Eh.imag)
+    IhR, IhI = f32(Ih.real), f32(Ih.imag)
+    IwRE, IwRO = f32(Iw_re[:, 0::2]), f32(Iw_re[:, 1::2])
+    IwIE, IwIO = f32(Iw_im[:, 0::2]), f32(Iw_im[:, 1::2])
+    return dict(
+        E67=f32(E67),
+        twR=f32(tw.real)[None],
+        twI=f32(tw.imag)[None],
+        EhP=f32(np.concatenate([EhR, EhI], axis=1)),
+        EhPT=f32(np.concatenate([EhR.T, EhI.T], axis=1)),
+        IhP=f32(np.concatenate([IhR, IhI], axis=1)),
+        IhPT=f32(np.concatenate([IhR.T, IhI.T], axis=1)),
+        IwE2=f32(np.concatenate([IwRE, IwIE], axis=0)),
+        IwO2=f32(np.concatenate([IwRO, IwIO], axis=0)),
+        IwET=f32(np.concatenate([IwRE.T, IwIE.T], axis=1)),
+        IwOT=f32(np.concatenate([IwRO.T, IwIO.T], axis=1)),
     )
-    c.update(
-        IwRET=np.ascontiguousarray(c["IwRE"].T),
-        IwROT=np.ascontiguousarray(c["IwRO"].T),
-        IwIET=np.ascontiguousarray(c["IwIE"].T),
-        IwIOT=np.ascontiguousarray(c["IwIO"].T),
-    )
-    return c
 
 
-def _dot(a, b, contract, lowp=False):
-    """MXU dot with f32 accumulation. ``lowp`` casts operands to bf16
-    (native MXU speed; the unfused bf16 DFT path validated the accuracy in
-    round 1) — used when the layer stores bf16 activations."""
-    if lowp:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
+def _dot(a, b, contract):
     return jax.lax.dot_general(
         a, b, dimension_numbers=(contract, ((), ())),
         preferred_element_type=jnp.float32,
@@ -161,16 +158,15 @@ def _row_bcast(x3, row, op):
 # ---------------------------------------------------------------------------
 
 
-def _k1_kernel(x_ref, a2_ref, b2_ref, e67, twr, twi, ehr, ehi,
-               y_ref, *, Hp, J, C2, m3, act, lowp):
-    dot = functools.partial(_dot, lowp=lowp)
+def _k1_kernel(x_ref, a2_ref, b2_ref, e67, twr, twi, ehp,
+               y_ref, *, Hp, J, C2, m3, act):
     xm = x_ref[0].astype(jnp.float32)              # [R, 128]
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
     z3 = zm.reshape(Hp, J, C2)                     # sublane split (free)
     # Cooley–Tukey W stage: one dot over the pair axis j; packed (p, c)
     # lanes ride through as a free dimension
-    S = dot(z3, e67[:], (((1,), (0,))))           # [Hp, C2, 2m3]
+    S = _dot(z3, e67[:], (((1,), (0,))))           # [Hp, C2, 2m3]
     C = C2 // 2
     SEr, SEi = S[:, :C, :m3], S[:, :C, m3:]
     SOr, SOi = S[:, C:, :m3], S[:, C:, m3:]
@@ -180,62 +176,19 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67, twr, twi, ehr, ehi,
         SOi, twi_, jnp.multiply)
     Xi = SEi + _row_bcast(SOi, twr_, jnp.multiply) + _row_bcast(
         SOr, twi_, jnp.multiply)
-    # H stage (contract Hp): transpose the small spectrum to put Hp minor
+    # H stage (contract Hp): transpose the small spectrum to put Hp minor;
+    # [EhR | EhI] packed → one dot per real/imag operand
     XrT = Xr.transpose(1, 2, 0)                    # [C, m3, Hp]
     XiT = Xi.transpose(1, 2, 0)
-    yR = dot(XrT, ehr[:], (((2,), (0,)))) - dot(XiT, ehi[:], (((2,), (0,))))
-    yI = dot(XrT, ehi[:], (((2,), (0,)))) + dot(XiT, ehr[:], (((2,), (0,))))
+    A = _dot(XrT, ehp[:], (((2,), (0,))))          # [C, m3, 4m2]
+    Bm = _dot(XiT, ehp[:], (((2,), (0,))))
+    m2x2 = A.shape[2] // 2
+    yR = A[:, :, :m2x2] - Bm[:, :, m2x2:]
+    yI = A[:, :, m2x2:] + Bm[:, :, :m2x2]
     # pack [C, m3, 2m2] → sublanes (j2, m), lanes (ri, c)
-    m2x2 = yR.shape[2]
     yRp = yR.transpose(2, 1, 0).reshape(m2x2 * m3, C)
     yIp = yI.transpose(2, 1, 0).reshape(m2x2 * m3, C)
     y_ref[0] = jnp.concatenate([yRp, yIp], axis=1)  # [2m2*m3, 2C]
-
-
-def _k1_bwd_kernel(x_ref, a2_ref, b2_ref, dy_ref,
-                   e67, twr, twi, ehrt, ehit,
-                   dx_ref, dab_ref, *, Hp, J, C2, m3, act, lowp):
-    dot = functools.partial(_dot, lowp=lowp)
-    i = pl.program_id(0)
-    C = C2 // 2
-    dy = dy_ref[0]                                 # [2m2*m3, 2C]
-    m2x2 = dy.shape[0] // m3
-    dyR = dy[:, :C].reshape(m2x2, m3, C).transpose(2, 1, 0)  # [C, m3, 2m2]
-    dyI = dy[:, C:].reshape(m2x2, m3, C).transpose(2, 1, 0)
-    # adjoint H stage
-    dXrT = dot(dyR, ehrt[:], (((2,), (0,)))) + dot(dyI, ehit[:],
-                                                     (((2,), (0,))))
-    dXiT = dot(dyI, ehrt[:], (((2,), (0,)))) - dot(dyR, ehit[:],
-                                                     (((2,), (0,))))
-    dXr = dXrT.transpose(2, 0, 1)                  # [Hp, C, m3]
-    dXi = dXiT.transpose(2, 0, 1)
-    # adjoint twiddle combine
-    twr_ = twr[:]
-    twi_ = twi[:]
-    dSOr = _row_bcast(dXr, twr_, jnp.multiply) + _row_bcast(
-        dXi, twi_, jnp.multiply)
-    dSOi = _row_bcast(dXi, twr_, jnp.multiply) - _row_bcast(
-        dXr, twi_, jnp.multiply)
-    dSE = jnp.concatenate([dXr, dXi], axis=2)      # [Hp, C, 2m3]
-    dSO = jnp.concatenate([dSOr, dSOi], axis=2)
-    dS = jnp.concatenate([dSE, dSO], axis=1)       # [Hp, C2, 2m3]
-    # adjoint W stage: dz3[h, j, l] = Σ_m dS[h, l, m] E67[j, m]
-    dz3 = dot(dS, e67[:], (((2,), (1,))))         # [Hp, C2, J]
-    dz3 = dz3.transpose(0, 2, 1)                   # [Hp, J, C2] (big)
-    dz = dz3.reshape(Hp * J, C2)
-    xm = x_ref[0].astype(jnp.float32)
-    um = xm * a2_ref[:] + b2_ref[:]
-    du = dz * _act_grad(um, act)
-    dx_ref[0] = (du * a2_ref[:]).astype(dx_ref.dtype)
-    part = jnp.concatenate(
-        [jnp.sum(du * xm, axis=0, keepdims=True),
-         jnp.sum(du, axis=0, keepdims=True)], axis=0)   # [2, 128]
-
-    @pl.when(i == 0)
-    def _():
-        dab_ref[...] = jnp.zeros_like(dab_ref)
-
-    dab_ref[...] = dab_ref[...] + part
 
 
 # ---------------------------------------------------------------------------
@@ -244,33 +197,31 @@ def _k1_bwd_kernel(x_ref, a2_ref, b2_ref, dy_ref,
 
 
 def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
-               ihr, ihi, iwre, iwro, iwie, iwio, selET, selOT,
-               s_ref, stats_ref, *, Hp, J, C2, m3, act, lowp):
-    dot = functools.partial(_dot, lowp=lowp)
+               ihp, iwe2, iwo2, selET, selOT,
+               s_ref, stats_ref, *, Hp, J, C2, m3, act):
     i = pl.program_id(0)
     C = C2 // 2
     g = g_ref[0]                                   # [2m2*m3, 2C]
     m2x2 = g.shape[0] // m3
     gRT = g[:, :C].reshape(m2x2, m3, C).transpose(1, 2, 0)  # [m3, C, 2m2]
     gIT = g[:, C:].reshape(m2x2, m3, C).transpose(1, 2, 0)
-    # inverse H (contract 2m2)
-    ihR = dot(gRT, ihr[:], (((2,), (0,)))) - dot(gIT, ihi[:],
-                                                   (((2,), (0,))))
-    ihI = dot(gIT, ihr[:], (((2,), (0,)))) + dot(gRT, ihi[:],
-                                                   (((2,), (0,))))
+    # inverse H (contract 2m2), [IhR | IhI] packed
+    A = _dot(gRT, ihp[:], (((2,), (0,))))          # [m3, C, 2Hp]
+    Bm = _dot(gIT, ihp[:], (((2,), (0,))))
+    ihR = A[:, :, :Hp] - Bm[:, :, Hp:]
+    ihI = Bm[:, :, :Hp] + A[:, :, Hp:]
     ihRT = ihR.transpose(2, 1, 0)                  # [Hp, C, m3]
     ihIT = ihI.transpose(2, 1, 0)
-    # inverse W per output parity (Hermitian-doubled real projection)
-    yE = dot(ihRT, iwre[:], (((2,), (0,)))) + dot(ihIT, iwie[:],
-                                                    (((2,), (0,))))
-    yO = dot(ihRT, iwro[:], (((2,), (0,)))) + dot(ihIT, iwio[:],
-                                                    (((2,), (0,))))
+    # inverse W per output parity (Hermitian-doubled real projection):
+    # lane-concat (re ‖ im) once, contract against the row-stacked [re; im]
+    # inverse matrices — one dot per parity
+    ihC = jnp.concatenate([ihRT, ihIT], axis=2)    # [Hp, C, 2m3]
+    yE = _dot(ihC, iwe2[:], (((2,), (0,))))        # [Hp, C, J]
+    yO = _dot(ihC, iwo2[:], (((2,), (0,))))
     yEt = yE.transpose(0, 2, 1)                    # [Hp, J, C] (cheap)
     yOt = yO.transpose(0, 2, 1)
     # big lane concats cost ~8 us/block on this Mosaic (measured); selection
-    # GEMMs against [I|0]/[0|I] run on the MXU at ~0.3 us instead. These stay
-    # f32: Mosaic can't bf16-cast [Hp, J, C] (2nd-minor 67 unaligned, lanes
-    # 64 < 128 — probed on this toolchain)
+    # GEMMs against [I|0]/[0|I] run on the MXU at ~0.3 us instead
     y3 = _dot(yEt, selET[:], (((2,), (0,)))) + _dot(
         yOt, selOT[:], (((2,), (0,))))             # [Hp, J, C2]
     # pointwise via the block-diagonal [[Wp,0],[0,Wp]] matrix: packed lanes
@@ -279,7 +230,7 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
     z3 = zm.reshape(Hp, J, C2)
-    zp3 = dot(z3, wp2_ref[:], (((2,), (0,))))     # [Hp, J, C2]
+    zp3 = _dot(z3, wp2_ref[:], (((2,), (0,))))     # [Hp, J, C2]
     s = y3.reshape(Hp * J, C2) + zp3.reshape(Hp * J, C2) + bp2_ref[:]
     s_ref[0] = s.astype(s_ref.dtype)
     part = jnp.concatenate(
@@ -293,13 +244,14 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
     stats_ref[...] = stats_ref[...] + part
 
 
-def _k2_bwd_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
-                   ds1_ref, ds2_ref,
-                   ihrt, ihit, iwret, iwrot, iwiet, iwiot, selE, selO,
-                   dg_ref, dx_ref, dwp2_ref, dvec_ref,
-                   *, Hp, J, C2, m3, act, lowp):
-    dot = functools.partial(_dot, lowp=lowp)
-    i = pl.program_id(0)
+# ---------------------------------------------------------------------------
+# K2A: spectral cotangent dg from (s, ds, BN-stat cotangents)
+# ---------------------------------------------------------------------------
+
+
+def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
+                ihpt, iwet, iwot, selE, selO,
+                dg_ref, *, Hp, J, C2, m3, act):
     C = C2 // 2
     sm = s_ref[0].astype(jnp.float32)              # [R, 128]
     dsm = ds_ref[0].astype(jnp.float32)
@@ -307,34 +259,75 @@ def _k2_bwd_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
     dse3 = ds_eff.reshape(Hp, J, C2)
     # adjoint of the output packing: parity selection via GEMMs (big lane
     # slices cost ~8 us/block on this Mosaic; MXU selection is ~0.3 us)
-    dyEt = dot(dse3, selE[:], (((2,), (0,))))     # [Hp, J, C]
-    dyOt = dot(dse3, selO[:], (((2,), (0,))))
+    dyEt = _dot(dse3, selE[:], (((2,), (0,))))     # [Hp, J, C]
+    dyOt = _dot(dse3, selO[:], (((2,), (0,))))
     dyE = dyEt.transpose(0, 2, 1)                  # [Hp, C, J] (cheap)
     dyO = dyOt.transpose(0, 2, 1)
-    # adjoint inverse W
-    dihRT = dot(dyE, iwret[:], (((2,), (0,)))) + dot(dyO, iwrot[:],
-                                                       (((2,), (0,))))
-    dihIT = dot(dyE, iwiet[:], (((2,), (0,)))) + dot(dyO, iwiot[:],
-                                                       (((2,), (0,))))
+    # adjoint inverse W: [re.T | im.T] packed → one dot per parity
+    AE = _dot(dyE, iwet[:], (((2,), (0,))))        # [Hp, C, 2m3]
+    AO = _dot(dyO, iwot[:], (((2,), (0,))))
+    dihRT = AE[:, :, :m3] + AO[:, :, :m3]
+    dihIT = AE[:, :, m3:] + AO[:, :, m3:]
     dihR = dihRT.transpose(2, 1, 0)                # [m3, C, Hp]
     dihI = dihIT.transpose(2, 1, 0)
-    # adjoint inverse H
-    dgRT = dot(dihR, ihrt[:], (((2,), (0,)))) + dot(dihI, ihit[:],
-                                                      (((2,), (0,))))
-    dgIT = dot(dihI, ihrt[:], (((2,), (0,)))) - dot(dihR, ihit[:],
-                                                      (((2,), (0,))))
-    m2x2 = dgRT.shape[2]
-    dgR = dgRT.transpose(2, 0, 1).reshape(m2x2 * m3, C)
-    dgI = dgIT.transpose(2, 0, 1).reshape(m2x2 * m3, C)
+    # adjoint inverse H: [IhR.T | IhI.T] packed
+    A = _dot(dihR, ihpt[:], (((2,), (0,))))        # [m3, C, 4m2]
+    Bm = _dot(dihI, ihpt[:], (((2,), (0,))))
+    m2x2 = A.shape[2] // 2
+    dgR3 = A[:, :, :m2x2] + Bm[:, :, m2x2:]
+    dgI3 = Bm[:, :, :m2x2] - A[:, :, m2x2:]
+    dgR = dgR3.transpose(2, 0, 1).reshape(m2x2 * m3, C)
+    dgI = dgI3.transpose(2, 0, 1).reshape(m2x2 * m3, C)
     dg_ref[0] = jnp.concatenate([dgR, dgI], axis=1)
-    # pointwise adjoint through the block-diagonal matrix
-    dz = dot(ds_eff, wp2t_ref[:], (((1,), (0,))))  # [R, 128]
+
+
+# ---------------------------------------------------------------------------
+# K12B: combined dx through both consumers of z (+ weight accumulators)
+# ---------------------------------------------------------------------------
+
+
+def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
+                 ds1_ref, ds2_ref, dy_ref,
+                 e67, twr, twi, ehpt,
+                 dx_ref, dwp2_ref, dvec_ref, *, Hp, J, C2, m3, act):
+    i = pl.program_id(0)
+    C = C2 // 2
+    # --- spectral branch: dy → adjoint (H, twiddle, W) → dzW
+    dy = dy_ref[0]                                 # [2m2*m3, 2C]
+    m2x2 = dy.shape[0] // m3
+    dyR = dy[:, :C].reshape(m2x2, m3, C).transpose(2, 1, 0)  # [C, m3, 2m2]
+    dyI = dy[:, C:].reshape(m2x2, m3, C).transpose(2, 1, 0)
+    A = _dot(dyR, ehpt[:], (((2,), (0,))))         # [C, m3, 2Hp]
+    Bm = _dot(dyI, ehpt[:], (((2,), (0,))))
+    dXrT = A[:, :, :Hp] + Bm[:, :, Hp:]
+    dXiT = Bm[:, :, :Hp] - A[:, :, Hp:]
+    dXr = dXrT.transpose(2, 0, 1)                  # [Hp, C, m3]
+    dXi = dXiT.transpose(2, 0, 1)
+    twr_ = twr[:]
+    twi_ = twi[:]
+    dSOr = _row_bcast(dXr, twr_, jnp.multiply) + _row_bcast(
+        dXi, twi_, jnp.multiply)
+    dSOi = _row_bcast(dXi, twr_, jnp.multiply) - _row_bcast(
+        dXr, twi_, jnp.multiply)
+    dSE = jnp.concatenate([dXr, dXi], axis=2)      # [Hp, C, 2m3]
+    dSO = jnp.concatenate([dSOr, dSOi], axis=2)
+    dS = jnp.concatenate([dSE, dSO], axis=1)       # [Hp, C2, 2m3]
+    # adjoint W stage: dzW3[h, j, l] = Σ_m dS[h, l, m] E67[j, m]
+    dzW3 = _dot(dS, e67[:], (((2,), (1,))))        # [Hp, C2, J]
+    dzW = dzW3.transpose(0, 2, 1).reshape(Hp * J, C2)
+    # --- pointwise branch: ds_eff (BN-stat chain) → dzP
+    sm = s_ref[0].astype(jnp.float32)
+    dsm = ds_ref[0].astype(jnp.float32)
+    ds_eff = dsm + ds1_ref[:] + 2.0 * sm * ds2_ref[:]
+    dzP = _dot(ds_eff, wp2t_ref[:], (((1,), (0,))))  # [R, 128]
+    # --- one combined activation-chain pass for BOTH consumers of z
+    dz = dzW + dzP
     xm = x_ref[0].astype(jnp.float32)
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
     du = dz * _act_grad(um, act)
     dx_ref[0] = (du * a2_ref[:]).astype(dx_ref.dtype)
-    dwp2 = dot(zm, ds_eff, (((0,), (0,))))        # [128, 128]
+    dwp2 = _dot(zm, ds_eff, (((0,), (0,))))        # [128, 128]
     dvec = jnp.concatenate(
         [jnp.sum(ds_eff, axis=0, keepdims=True),       # dbp2
          jnp.sum(du * xm, axis=0, keepdims=True),      # da2
@@ -350,12 +343,12 @@ def _k2_bwd_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
 
 
 # ---------------------------------------------------------------------------
-# pallas_call wrappers + custom VJPs
+# pallas_call wrappers + the single-layer custom VJP
 # ---------------------------------------------------------------------------
 
 
-# the K2 backward's scoped stack peaks ~18.4MB (R=4690-row blocks), above
-# the 16MB default scoped-vmem limit; v5e has 128MB VMEM, so raise it
+# the K12B backward's scoped stack peaks >16MB (R=4690-row blocks), above
+# the default scoped-vmem limit; v5e has 128MB VMEM, so raise it
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
@@ -389,148 +382,123 @@ def _block_diag2(w):
 
 
 @functools.lru_cache(maxsize=32)
-def _k1_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
-              act: str, interpret: bool, x_dtype_str: str):
+def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
+                 act: str, interpret: bool, x_dtype_str: str):
+    """The four pallas_calls of one layer (K1, K2 forward; K2A, K12B
+    backward) for one static configuration."""
     x_dtype = jnp.dtype(x_dtype_str)
     R, Y = Hp * J, 2 * m2 * m3
-    # lowp bf16 dots measured SLOWER end-to-end on this Mosaic (cotangent
-    # relayout costs exceed the MXU gain on these K=67/N=32 dots); keep f32
-    kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, lowp=False)
-    fwd = pl.pallas_call(
+    kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act)
+    cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)
+    k1 = pl.pallas_call(
         functools.partial(_k1_kernel, **kw),
         grid=(BT,),
-        in_specs=[_blk(R, C2), _full(), _full()] + [_full()] * 5,
+        in_specs=[_blk(R, C2), _full(), _full()] + [_full()] * 4,
         out_specs=_blk(Y, C2),
         out_shape=jax.ShapeDtypeStruct((BT, Y, C2), jnp.float32),
-        interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        **cp,
     )
-    bwd = pl.pallas_call(
-        functools.partial(_k1_bwd_kernel, **kw),
-        grid=(BT,),
-        in_specs=[_blk(R, C2), _full(), _full(), _blk(Y, C2)]
-        + [_full()] * 5,
-        out_specs=(_blk(R, C2), _acc(2, C2)),
-        out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
-                   jax.ShapeDtypeStruct((2, C2), jnp.float32)),
-        interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
-    )
-    return fwd, bwd
-
-
-@functools.lru_cache(maxsize=32)
-def _k2_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
-              act: str, interpret: bool, x_dtype_str: str):
-    x_dtype = jnp.dtype(x_dtype_str)
-    R, Y = Hp * J, 2 * m2 * m3
-    # lowp bf16 dots measured SLOWER end-to-end on this Mosaic (cotangent
-    # relayout costs exceed the MXU gain on these K=67/N=32 dots); keep f32
-    kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, lowp=False)
-    fwd = pl.pallas_call(
+    k2 = pl.pallas_call(
         functools.partial(_k2_kernel, **kw),
         grid=(BT,),
         in_specs=[_blk(Y, C2), _blk(R, C2), _full(), _full(), _full(),
-                  _full()] + [_full()] * 8,
+                  _full()] + [_full()] * 5,
         out_specs=(_blk(R, C2), _acc(2, C2)),
         out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
                    jax.ShapeDtypeStruct((2, C2), jnp.float32)),
-        interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        **cp,
     )
-    bwd = pl.pallas_call(
-        functools.partial(_k2_bwd_kernel, **kw),
+    k2a = pl.pallas_call(
+        functools.partial(_k2a_kernel, **kw),
+        grid=(BT,),
+        in_specs=[_blk(R, C2), _blk(R, C2), _full(), _full()]
+        + [_full()] * 5,
+        out_specs=_blk(Y, C2),
+        out_shape=jax.ShapeDtypeStruct((BT, Y, C2), jnp.float32),
+        **cp,
+    )
+    k12b = pl.pallas_call(
+        functools.partial(_k12b_kernel, **kw),
         grid=(BT,),
         in_specs=[_blk(R, C2), _full(), _full(), _full(),
-                  _blk(R, C2), _blk(R, C2), _full(), _full()]
-        + [_full()] * 8,
-        out_specs=(_blk(Y, C2), _blk(R, C2), _acc(C2, C2), _acc(3, C2)),
-        out_shape=(jax.ShapeDtypeStruct((BT, Y, C2), jnp.float32),
-                   jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
+                  _blk(R, C2), _blk(R, C2), _full(), _full(), _blk(Y, C2)]
+        + [_full()] * 4,
+        out_specs=(_blk(R, C2), _acc(C2, C2), _acc(3, C2)),
+        out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
                    jax.ShapeDtypeStruct((C2, C2), jnp.float32),
                    jax.ShapeDtypeStruct((3, C2), jnp.float32)),
-        interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        **cp,
     )
-    return fwd, bwd
+    return k1, k2, k2a, k12b
 
 
 @functools.lru_cache(maxsize=32)
-def _make_layer_ops(BT: int, Hp: int, J: int, C: int, m2: int, m3: int,
-                    act: str, interpret: bool, x_dtype_str: str):
-    """custom_vjp'd (k1, k2) closures for one static configuration."""
-    C2 = 2 * C
+def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
+                m1: int, m2: int, m3: int,
+                act: str, interpret: bool, x_dtype_str: str):
+    """One fused FNO layer as a single custom_vjp:
+
+      fwd:  K1 → mid_spectral (XLA) → K2
+      bwd:  K2A → vjp(mid_spectral) (XLA) → K12B
+    """
+    C2, BT = 2 * C, B * Tp
     cst = _ct_consts(Hp, 2 * J, m2, m3)
     # closure constants stay NUMPY: this factory is lru_cached, so any
     # jnp.asarray here would capture a tracer from whichever jit trace ran
     # first and leak it into later traces
-    as_j = lambda *names: tuple(cst[n] for n in names)
-    k1_fwd_call, k1_bwd_call = _k1_calls(BT, Hp, J, C2, m2, m3, act,
-                                         interpret, x_dtype_str)
-    k2_fwd_call, k2_bwd_call = _k2_calls(BT, Hp, J, C2, m2, m3, act,
-                                         interpret, x_dtype_str)
-    k1_consts = as_j("E67", "twR", "twI", "EhR", "EhI")
-    k1_bwd_consts = as_j("E67", "twR", "twI", "EhRT", "EhIT")
+    k1_call, k2_call, k2a_call, k12b_call = _layer_calls(
+        BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str)
     eyeC = np.eye(C, dtype=np.float32)
     zC = np.zeros((C, C), np.float32)
     selE = np.concatenate([eyeC, zC], axis=0)   # [2C, C]
     selO = np.concatenate([zC, eyeC], axis=0)
     selET = np.concatenate([eyeC, zC], axis=1)  # [C, 2C]
     selOT = np.concatenate([zC, eyeC], axis=1)
-    k2_consts = as_j("IhR", "IhI", "IwRE", "IwRO", "IwIE", "IwIO") + (
-        selET, selOT)
-    k2_bwd_consts = as_j("IhRT", "IhIT", "IwRET", "IwROT", "IwIET",
-                         "IwIOT") + (selE, selO)
+    k1_consts = (cst["E67"], cst["twR"], cst["twI"], cst["EhP"])
+    k2_consts = (cst["IhP"], cst["IwE2"], cst["IwO2"], selET, selOT)
+    k2a_consts = (cst["IhPT"], cst["IwET"], cst["IwOT"], selE, selO)
+    k12b_consts = (cst["E67"], cst["twR"], cst["twI"], cst["EhPT"])
 
-    def _k1_impl(x, a, b):
-        a2, b2 = _pack_affine(a, b, C)
-        return k1_fwd_call(x, a2, b2, *k1_consts)
-
-    @jax.custom_vjp
-    def k1(x, a, b):
-        return _k1_impl(x, a, b)
-
-    def k1_f(x, a, b):
-        return _k1_impl(x, a, b), (x, a, b)
-
-    def k1_b(res, dy):
-        x, a, b = res
-        a2, b2 = _pack_affine(a, b, C)
-        dx, dab2 = k1_bwd_call(x, a2, b2, dy, *k1_bwd_consts)
-        da2, db2 = dab2[0:1], dab2[1:2]
-        return (dx, da2[:, :C] + da2[:, C:], db2[:, :C] + db2[:, C:])
-
-    k1.defvjp(k1_f, k1_b)
-
-    def _k2_impl(g, x, a, b, wp, bp):
+    def _fwd_impl(x, a, b, w_real, w_imag, wp, bp):
         a2, b2 = _pack_affine(a, b, C)
         wp2 = _block_diag2(wp.astype(jnp.float32))
         bp2 = jnp.concatenate([bp, bp], axis=1).astype(jnp.float32)
-        return k2_fwd_call(g, x, a2, b2, wp2, bp2, *k2_consts)
+        y = k1_call(x, a2, b2, *k1_consts)
+        g = mid_spectral(y, w_real, w_imag, B, Tp)
+        s, stats = k2_call(g, x, a2, b2, wp2, bp2, *k2_consts)
+        return (s, stats), y
 
     @jax.custom_vjp
-    def k2(g, x, a, b, wp, bp):
-        return _k2_impl(g, x, a, b, wp, bp)
+    def layer(x, a, b, w_real, w_imag, wp, bp):
+        out, _ = _fwd_impl(x, a, b, w_real, w_imag, wp, bp)
+        return out
 
-    def k2_f(g, x, a, b, wp, bp):
-        s, stats = _k2_impl(g, x, a, b, wp, bp)
-        return (s, stats), (x, a, b, wp, s)
+    def layer_f(x, a, b, w_real, w_imag, wp, bp):
+        out, y = _fwd_impl(x, a, b, w_real, w_imag, wp, bp)
+        return out, (x, a, b, w_real, w_imag, wp, y, out[0])
 
-    def k2_b(res, cot):
-        x, a, b, wp, s = res
+    def layer_b(res, cot):
+        x, a, b, w_real, w_imag, wp, y, s = res
         ds, dstats = cot
+        ds1, ds2 = dstats[0:1], dstats[1:2]
         a2, b2 = _pack_affine(a, b, C)
         wp2t = _block_diag2(wp.astype(jnp.float32)).T
-        dg, dx, dwp2, dvec = k2_bwd_call(
-            x, a2, b2, wp2t, s, ds, dstats[0:1], dstats[1:2],
-            *k2_bwd_consts)
+        dg = k2a_call(s, ds, ds1, ds2, *k2a_consts)
+        # the XLA mid-section is linear in y and in the weights; its vjp
+        # carries the spectral-weight gradients and maps dg back to dy
+        _, mid_vjp = jax.vjp(
+            lambda y_, wr_, wi_: mid_spectral(y_, wr_, wi_, B, Tp),
+            y, w_real, w_imag)
+        dy, dwr, dwi = mid_vjp(dg)
+        dx, dwp2, dvec = k12b_call(x, a2, b2, wp2t, s, ds, ds1, ds2, dy,
+                                   *k12b_consts)
         dwp = dwp2[:C, :C] + dwp2[C:, C:]
         fold = lambda r: r[:, :C] + r[:, C:]
-        return (dg, dx, fold(dvec[1:2]), fold(dvec[2:3]), dwp,
+        return (dx, fold(dvec[1:2]), fold(dvec[2:3]), dwr, dwi, dwp,
                 fold(dvec[0:1]))
 
-    k2.defvjp(k2_f, k2_b)
-    return k1, k2
+    layer.defvjp(layer_f, layer_b)
+    return layer
 
 
 # ---------------------------------------------------------------------------
@@ -629,12 +597,9 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
     """
     B, Tp, Hp, Wp, C = dims
     m1, m2, m3 = w_real.shape[3], w_real.shape[4], w_real.shape[5]
-    BT, J = B * Tp, Wp // 2
-    k1, k2 = _make_layer_ops(BT, Hp, J, C, m2, m3, act, interpret,
-                             str(x.dtype))
-    y = k1(x, a, b)
-    g = mid_spectral(y, w_real, w_imag, B, Tp)
-    return k2(g, x, a, b, wp, bp)
+    layer = _make_layer(B, Tp, Hp, Wp // 2, C, m1, m2, m3, act, interpret,
+                        str(x.dtype))
+    return layer(x, a, b, w_real, w_imag, wp, bp)
 
 
 def reference_fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act):
