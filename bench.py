@@ -71,7 +71,7 @@ def main():
     state = TrainState.create(params, model_state, build_optimizer(cfg))
     # microbatch so bs-32 fp32 activations fit one v5e chip's 16G HBM;
     # gradient semantics identical to the full batch
-    grad_accum = 4 if n_chips == 1 else 1
+    grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", "4")) if n_chips == 1 else 1
     step = make_train_step(bundle, IdentityNormalizer(), grad_accum=grad_accum)
 
     # warmup / compile (two steps: the first may include autotuning)

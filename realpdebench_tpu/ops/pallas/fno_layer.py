@@ -16,12 +16,12 @@ minormost / dim0-of-2D only, and 3-D rhs operands are unsupported):
     as (w-parity, channel): element (h, w=2j+p, c) ↦ [bt, h*67+j, p*64+c].
     For the cylinder benchmark this layout has ~zero tile padding;
   * the W-axis DFT is computed Cooley–Tukey style: ONE dot over the
-    w-pair axis j against the half-length DFT matrix (the 128 packed lanes
-    ride through as a free dimension), then a cheap twiddle combine of the
-    two parities on the small truncated spectrum — no big-tensor slices;
-  * every complex matrix pair is packed [re | im] into ONE wider dot
-    (halves the batched-small-matmul MXU pass count, the per-block cost
-    driver at K=67/N<=48);
+    w-pair axis j against [E67 | E67·tw] (the parity twiddle is folded
+    into the matrix), so combining parities is slices+adds only;
+  * every complex matrix pair is packed [re | im] into ONE wider dot, and
+    every shared-RHS batched dot is flattened to a single 2-D dot (the
+    batch dim merges into the matmul M dim) — both cut the MXU pass
+    count, the per-block cost driver at K<=70/N<=48;
   * the BN affine + GELU of the *previous* layer is folded into this
     layer's kernels: the stored tensor is always the pre-BN ``s`` and both
     consumers recompute ``z = gelu(a*s + b)`` on the fly — normalized
@@ -96,8 +96,10 @@ def _ct_consts(Hp: int, Wp: int, m2: int, m3: int):
     """Cooley–Tukey factor matrices (f32 numpy), all kernel-ready. Complex
     pairs are packed [re | im] column-wise so each consumer is ONE dot:
 
-      E67   [J, 2m3]    half-length forward DFT over w-pairs, [cos | -sin]
-      twR/twI [1, m3]   forward twiddles e^{-2πi m / Wp}
+      E67X  [J, 4m3]    half-length forward DFT over w-pairs with the
+                        parity twiddle folded in: [E67 | E67·tw], each
+                        half packed [cos | -sin]
+      E67T/E67twT [2m3, J]  their transposes (K12B adjoint W)
       EhP   [Hp, 4m2]   forward H DFT packed [EhR | EhI]
       EhPT  [2m2, 2Hp]  its transpose pair [EhR.T | EhI.T] (K12B adjoint H)
       IhP   [2m2, 2Hp]  inverse H packed [IhR | IhI]
@@ -115,8 +117,10 @@ def _ct_consts(Hp: int, Wp: int, m2: int, m3: int):
     jj = np.arange(J)[:, None]
     mm = np.arange(m3)[None, :]
     theta = 2 * np.pi * jj * mm / J
+    # twiddles folded into the odd-parity DFT matrix: phase 2*pi*m/Wp
+    theta_tw = theta + 2 * np.pi * mm / Wp
     E67 = np.concatenate([np.cos(theta), -np.sin(theta)], axis=1)
-    tw = np.exp(-2j * np.pi * np.arange(m3) / Wp)
+    E67tw = np.concatenate([np.cos(theta_tw), -np.sin(theta_tw)], axis=1)
 
     f32 = lambda a: np.ascontiguousarray(np.asarray(a, np.float32))
     EhR, EhI = f32(Eh.real), f32(Eh.imag)
@@ -124,9 +128,9 @@ def _ct_consts(Hp: int, Wp: int, m2: int, m3: int):
     IwRE, IwRO = f32(Iw_re[:, 0::2]), f32(Iw_re[:, 1::2])
     IwIE, IwIO = f32(Iw_im[:, 0::2]), f32(Iw_im[:, 1::2])
     return dict(
-        E67=f32(E67),
-        twR=f32(tw.real)[None],
-        twI=f32(tw.imag)[None],
+        E67X=f32(np.concatenate([E67, E67tw], axis=1)),
+        E67T=f32(E67.T),
+        E67twT=f32(E67tw.T),
         EhP=f32(np.concatenate([EhR, EhI], axis=1)),
         EhPT=f32(np.concatenate([EhR.T, EhI.T], axis=1)),
         IhP=f32(np.concatenate([IhR, IhI], axis=1)),
@@ -145,49 +149,36 @@ def _dot(a, b, contract):
     )
 
 
-def _row_bcast(x3, row, op):
-    """Apply per-lane row vectors to a 3-D value via a flat 2-D view
-    (Mosaic rejects [1,1,L] broadcasts onto 3-D; sublane merges are free)."""
-    A, B, L = x3.shape
-    flat = op(x3.reshape(A * B, L), row)
-    return flat.reshape(A, B, L)
-
-
 # ---------------------------------------------------------------------------
 # K1: affine + gelu + truncated forward (W, H) DFT
 # ---------------------------------------------------------------------------
 
 
-def _k1_kernel(x_ref, a2_ref, b2_ref, e67, twr, twi, ehp,
+def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
                y_ref, *, Hp, J, C2, m3, act):
     xm = x_ref[0].astype(jnp.float32)              # [R, 128]
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
     z3 = zm.reshape(Hp, J, C2)                     # sublane split (free)
-    # Cooley–Tukey W stage: one dot over the pair axis j; packed (p, c)
-    # lanes ride through as a free dimension
-    S = _dot(z3, e67[:], (((1,), (0,))))           # [Hp, C2, 2m3]
+    # Cooley–Tukey W stage: one dot over the pair axis j against
+    # [E67 | E67·tw] — the parity twiddle is folded into the matrix, so
+    # combining parities is slices+adds only (no VPU multiplies)
+    S = _dot(z3, e67x[:], (((1,), (0,))))          # [Hp, C2, 4m3]
     C = C2 // 2
-    SEr, SEi = S[:, :C, :m3], S[:, :C, m3:]
-    SOr, SOi = S[:, C:, :m3], S[:, C:, m3:]
-    twr_ = twr[:]
-    twi_ = twi[:]
-    Xr = SEr + _row_bcast(SOr, twr_, jnp.multiply) - _row_bcast(
-        SOi, twi_, jnp.multiply)
-    Xi = SEi + _row_bcast(SOi, twr_, jnp.multiply) + _row_bcast(
-        SOr, twi_, jnp.multiply)
-    # H stage (contract Hp): transpose the small spectrum to put Hp minor;
-    # [EhR | EhI] packed → one dot per real/imag operand
-    XrT = Xr.transpose(1, 2, 0)                    # [C, m3, Hp]
-    XiT = Xi.transpose(1, 2, 0)
-    A = _dot(XrT, ehp[:], (((2,), (0,))))          # [C, m3, 4m2]
-    Bm = _dot(XiT, ehp[:], (((2,), (0,))))
-    m2x2 = A.shape[2] // 2
-    yR = A[:, :, :m2x2] - Bm[:, :, m2x2:]
-    yI = A[:, :, m2x2:] + Bm[:, :, :m2x2]
-    # pack [C, m3, 2m2] → sublanes (j2, m), lanes (ri, c)
-    yRp = yR.transpose(2, 1, 0).reshape(m2x2 * m3, C)
-    yIp = yI.transpose(2, 1, 0).reshape(m2x2 * m3, C)
+    Xr = S[:, :C, 0:m3] + S[:, C:, 2 * m3:3 * m3]  # [Hp, C, m3]
+    Xi = S[:, :C, m3:2 * m3] + S[:, C:, 3 * m3:]
+    # H stage (contract Hp): put Hp minor, then flatten (C, m3) into the
+    # matmul M dim — shared-RHS batched dots become ONE 2-D dot
+    XrT = Xr.transpose(1, 2, 0).reshape(C * m3, Hp)
+    XiT = Xi.transpose(1, 2, 0).reshape(C * m3, Hp)
+    A = _dot(XrT, ehp[:], (((1,), (0,))))          # [C*m3, 4m2]
+    Bm = _dot(XiT, ehp[:], (((1,), (0,))))
+    m2x2 = A.shape[1] // 2
+    yR = A[:, :m2x2] - Bm[:, m2x2:]                # [C*m3, 2m2]
+    yI = A[:, m2x2:] + Bm[:, :m2x2]
+    # pack → sublanes (j2, m), lanes (ri, c)
+    yRp = yR.reshape(C, m3, m2x2).transpose(2, 1, 0).reshape(m2x2 * m3, C)
+    yIp = yI.reshape(C, m3, m2x2).transpose(2, 1, 0).reshape(m2x2 * m3, C)
     y_ref[0] = jnp.concatenate([yRp, yIp], axis=1)  # [2m2*m3, 2C]
 
 
@@ -203,35 +194,37 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
     C = C2 // 2
     g = g_ref[0]                                   # [2m2*m3, 2C]
     m2x2 = g.shape[0] // m3
-    gRT = g[:, :C].reshape(m2x2, m3, C).transpose(1, 2, 0)  # [m3, C, 2m2]
-    gIT = g[:, C:].reshape(m2x2, m3, C).transpose(1, 2, 0)
+    # flatten (m3, C) into M: shared-RHS batched dots become 2-D dots
+    gRT = g[:, :C].reshape(m2x2, m3, C).transpose(1, 2, 0).reshape(
+        m3 * C, m2x2)
+    gIT = g[:, C:].reshape(m2x2, m3, C).transpose(1, 2, 0).reshape(
+        m3 * C, m2x2)
     # inverse H (contract 2m2), [IhR | IhI] packed
-    A = _dot(gRT, ihp[:], (((2,), (0,))))          # [m3, C, 2Hp]
-    Bm = _dot(gIT, ihp[:], (((2,), (0,))))
-    ihR = A[:, :, :Hp] - Bm[:, :, Hp:]
-    ihI = Bm[:, :, :Hp] + A[:, :, Hp:]
-    ihRT = ihR.transpose(2, 1, 0)                  # [Hp, C, m3]
-    ihIT = ihI.transpose(2, 1, 0)
+    A = _dot(gRT, ihp[:], (((1,), (0,))))          # [m3*C, 2Hp]
+    Bm = _dot(gIT, ihp[:], (((1,), (0,))))
+    ihR = A[:, :Hp] - Bm[:, Hp:]
+    ihI = Bm[:, :Hp] + A[:, Hp:]
+    ihRT = ihR.reshape(m3, C, Hp).transpose(2, 1, 0)  # [Hp, C, m3]
+    ihIT = ihI.reshape(m3, C, Hp).transpose(2, 1, 0)
     # inverse W per output parity (Hermitian-doubled real projection):
-    # lane-concat (re ‖ im) once, contract against the row-stacked [re; im]
-    # inverse matrices — one dot per parity
-    ihC = jnp.concatenate([ihRT, ihIT], axis=2)    # [Hp, C, 2m3]
-    yE = _dot(ihC, iwe2[:], (((2,), (0,))))        # [Hp, C, J]
-    yO = _dot(ihC, iwo2[:], (((2,), (0,))))
-    yEt = yE.transpose(0, 2, 1)                    # [Hp, J, C] (cheap)
-    yOt = yO.transpose(0, 2, 1)
+    # lane-concat (re ‖ im) once, flatten (Hp, C) into M, contract against
+    # the row-stacked [re; im] inverse matrices — one 2-D dot per parity
+    ihC = jnp.concatenate([ihRT, ihIT], axis=2).reshape(Hp * C, 2 * m3)
+    yE = _dot(ihC, iwe2[:], (((1,), (0,))))        # [Hp*C, J]
+    yO = _dot(ihC, iwo2[:], (((1,), (0,))))
+    yEt = yE.reshape(Hp, C, J).transpose(0, 2, 1).reshape(Hp * J, C)
+    yOt = yO.reshape(Hp, C, J).transpose(0, 2, 1).reshape(Hp * J, C)
     # big lane concats cost ~8 us/block on this Mosaic (measured); selection
     # GEMMs against [I|0]/[0|I] run on the MXU at ~0.3 us instead
-    y3 = _dot(yEt, selET[:], (((2,), (0,)))) + _dot(
-        yOt, selOT[:], (((2,), (0,))))             # [Hp, J, C2]
+    y2 = _dot(yEt, selET[:], (((1,), (0,)))) + _dot(
+        yOt, selOT[:], (((1,), (0,))))             # [R, C2]
     # pointwise via the block-diagonal [[Wp,0],[0,Wp]] matrix: packed lanes
     # never split
     xm = x_ref[0].astype(jnp.float32)
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
-    z3 = zm.reshape(Hp, J, C2)
-    zp3 = _dot(z3, wp2_ref[:], (((2,), (0,))))     # [Hp, J, C2]
-    s = y3.reshape(Hp * J, C2) + zp3.reshape(Hp * J, C2) + bp2_ref[:]
+    zp = _dot(zm, wp2_ref[:], (((1,), (0,))))      # [R, C2]
+    s = y2 + zp + bp2_ref[:]
     s_ref[0] = s.astype(s_ref.dtype)
     part = jnp.concatenate(
         [jnp.sum(s, axis=0, keepdims=True),
@@ -256,26 +249,25 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
     sm = s_ref[0].astype(jnp.float32)              # [R, 128]
     dsm = ds_ref[0].astype(jnp.float32)
     ds_eff = dsm + ds1_ref[:] + 2.0 * sm * ds2_ref[:]
-    dse3 = ds_eff.reshape(Hp, J, C2)
     # adjoint of the output packing: parity selection via GEMMs (big lane
     # slices cost ~8 us/block on this Mosaic; MXU selection is ~0.3 us)
-    dyEt = _dot(dse3, selE[:], (((2,), (0,))))     # [Hp, J, C]
-    dyOt = _dot(dse3, selO[:], (((2,), (0,))))
-    dyE = dyEt.transpose(0, 2, 1)                  # [Hp, C, J] (cheap)
-    dyO = dyOt.transpose(0, 2, 1)
-    # adjoint inverse W: [re.T | im.T] packed → one dot per parity
-    AE = _dot(dyE, iwet[:], (((2,), (0,))))        # [Hp, C, 2m3]
-    AO = _dot(dyO, iwot[:], (((2,), (0,))))
-    dihRT = AE[:, :, :m3] + AO[:, :, :m3]
-    dihIT = AE[:, :, m3:] + AO[:, :, m3:]
-    dihR = dihRT.transpose(2, 1, 0)                # [m3, C, Hp]
-    dihI = dihIT.transpose(2, 1, 0)
-    # adjoint inverse H: [IhR.T | IhI.T] packed
-    A = _dot(dihR, ihpt[:], (((2,), (0,))))        # [m3, C, 4m2]
-    Bm = _dot(dihI, ihpt[:], (((2,), (0,))))
-    m2x2 = A.shape[2] // 2
-    dgR3 = A[:, :, :m2x2] + Bm[:, :, m2x2:]
-    dgI3 = Bm[:, :, :m2x2] - A[:, :, m2x2:]
+    dyEf = _dot(ds_eff, selE[:], (((1,), (0,))))   # [R, C]
+    dyOf = _dot(ds_eff, selO[:], (((1,), (0,))))
+    dyE = dyEf.reshape(Hp, J, C).transpose(0, 2, 1).reshape(Hp * C, J)
+    dyO = dyOf.reshape(Hp, J, C).transpose(0, 2, 1).reshape(Hp * C, J)
+    # adjoint inverse W: [re.T | im.T] packed, (Hp, C) flattened into M
+    AE = _dot(dyE, iwet[:], (((1,), (0,))))        # [Hp*C, 2m3]
+    AO = _dot(dyO, iwot[:], (((1,), (0,))))
+    dihRT = AE[:, :m3] + AO[:, :m3]
+    dihIT = AE[:, m3:] + AO[:, m3:]
+    dihR = dihRT.reshape(Hp, C, m3).transpose(2, 1, 0).reshape(m3 * C, Hp)
+    dihI = dihIT.reshape(Hp, C, m3).transpose(2, 1, 0).reshape(m3 * C, Hp)
+    # adjoint inverse H: [IhR.T | IhI.T] packed, (m3, C) flattened into M
+    A = _dot(dihR, ihpt[:], (((1,), (0,))))        # [m3*C, 4m2]
+    Bm = _dot(dihI, ihpt[:], (((1,), (0,))))
+    m2x2 = A.shape[1] // 2
+    dgR3 = (A[:, :m2x2] + Bm[:, m2x2:]).reshape(m3, C, m2x2)
+    dgI3 = (Bm[:, :m2x2] - A[:, m2x2:]).reshape(m3, C, m2x2)
     dgR = dgR3.transpose(2, 0, 1).reshape(m2x2 * m3, C)
     dgI = dgI3.transpose(2, 0, 1).reshape(m2x2 * m3, C)
     dg_ref[0] = jnp.concatenate([dgR, dgI], axis=1)
@@ -288,33 +280,31 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
 
 def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
                  ds1_ref, ds2_ref, dy_ref,
-                 e67, twr, twi, ehpt,
+                 ehpt, e67t, e67twt, selET, selOT,
                  dx_ref, dwp2_ref, dvec_ref, *, Hp, J, C2, m3, act):
     i = pl.program_id(0)
     C = C2 // 2
-    # --- spectral branch: dy → adjoint (H, twiddle, W) → dzW
+    # --- spectral branch: dy → adjoint (H, W·tw) → dzW
     dy = dy_ref[0]                                 # [2m2*m3, 2C]
     m2x2 = dy.shape[0] // m3
-    dyR = dy[:, :C].reshape(m2x2, m3, C).transpose(2, 1, 0)  # [C, m3, 2m2]
-    dyI = dy[:, C:].reshape(m2x2, m3, C).transpose(2, 1, 0)
-    A = _dot(dyR, ehpt[:], (((2,), (0,))))         # [C, m3, 2Hp]
-    Bm = _dot(dyI, ehpt[:], (((2,), (0,))))
-    dXrT = A[:, :, :Hp] + Bm[:, :, Hp:]
-    dXiT = Bm[:, :, :Hp] - A[:, :, Hp:]
-    dXr = dXrT.transpose(2, 0, 1)                  # [Hp, C, m3]
-    dXi = dXiT.transpose(2, 0, 1)
-    twr_ = twr[:]
-    twi_ = twi[:]
-    dSOr = _row_bcast(dXr, twr_, jnp.multiply) + _row_bcast(
-        dXi, twi_, jnp.multiply)
-    dSOi = _row_bcast(dXi, twr_, jnp.multiply) - _row_bcast(
-        dXr, twi_, jnp.multiply)
-    dSE = jnp.concatenate([dXr, dXi], axis=2)      # [Hp, C, 2m3]
-    dSO = jnp.concatenate([dSOr, dSOi], axis=2)
-    dS = jnp.concatenate([dSE, dSO], axis=1)       # [Hp, C2, 2m3]
-    # adjoint W stage: dzW3[h, j, l] = Σ_m dS[h, l, m] E67[j, m]
-    dzW3 = _dot(dS, e67[:], (((2,), (1,))))        # [Hp, C2, J]
-    dzW = dzW3.transpose(0, 2, 1).reshape(Hp * J, C2)
+    dyR = dy[:, :C].reshape(m2x2, m3, C).transpose(2, 1, 0).reshape(
+        C * m3, m2x2)
+    dyI = dy[:, C:].reshape(m2x2, m3, C).transpose(2, 1, 0).reshape(
+        C * m3, m2x2)
+    A = _dot(dyR, ehpt[:], (((1,), (0,))))         # [C*m3, 2Hp]
+    Bm = _dot(dyI, ehpt[:], (((1,), (0,))))
+    dXr = (A[:, :Hp] + Bm[:, Hp:]).reshape(C, m3, Hp).transpose(2, 0, 1)
+    dXi = (Bm[:, :Hp] - A[:, Hp:]).reshape(C, m3, Hp).transpose(2, 0, 1)
+    # adjoint of the twiddle-folded W stage: even-parity channels see
+    # E67.T, odd-parity see (E67·tw).T; lanes re-merged via selection GEMMs
+    # (mirrors K2's inverse-W structure)
+    dXY = jnp.concatenate([dXr, dXi], axis=2).reshape(Hp * C, 2 * m3)
+    dzE = _dot(dXY, e67t[:], (((1,), (0,))))       # [Hp*C, J]
+    dzO = _dot(dXY, e67twt[:], (((1,), (0,))))
+    dzEt = dzE.reshape(Hp, C, J).transpose(0, 2, 1).reshape(Hp * J, C)
+    dzOt = dzO.reshape(Hp, C, J).transpose(0, 2, 1).reshape(Hp * J, C)
+    dzW = _dot(dzEt, selET[:], (((1,), (0,)))) + _dot(
+        dzOt, selOT[:], (((1,), (0,))))            # [R, C2]
     # --- pointwise branch: ds_eff (BN-stat chain) → dzP
     sm = s_ref[0].astype(jnp.float32)
     dsm = ds_ref[0].astype(jnp.float32)
@@ -393,7 +383,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
     k1 = pl.pallas_call(
         functools.partial(_k1_kernel, **kw),
         grid=(BT,),
-        in_specs=[_blk(R, C2), _full(), _full()] + [_full()] * 4,
+        in_specs=[_blk(R, C2), _full(), _full()] + [_full()] * 2,
         out_specs=_blk(Y, C2),
         out_shape=jax.ShapeDtypeStruct((BT, Y, C2), jnp.float32),
         **cp,
@@ -422,7 +412,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
         grid=(BT,),
         in_specs=[_blk(R, C2), _full(), _full(), _full(),
                   _blk(R, C2), _blk(R, C2), _full(), _full(), _blk(Y, C2)]
-        + [_full()] * 4,
+        + [_full()] * 5,
         out_specs=(_blk(R, C2), _acc(C2, C2), _acc(3, C2)),
         out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
                    jax.ShapeDtypeStruct((C2, C2), jnp.float32),
@@ -454,10 +444,10 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
     selO = np.concatenate([zC, eyeC], axis=0)
     selET = np.concatenate([eyeC, zC], axis=1)  # [C, 2C]
     selOT = np.concatenate([zC, eyeC], axis=1)
-    k1_consts = (cst["E67"], cst["twR"], cst["twI"], cst["EhP"])
+    k1_consts = (cst["E67X"], cst["EhP"])
     k2_consts = (cst["IhP"], cst["IwE2"], cst["IwO2"], selET, selOT)
     k2a_consts = (cst["IhPT"], cst["IwET"], cst["IwOT"], selE, selO)
-    k12b_consts = (cst["E67"], cst["twR"], cst["twI"], cst["EhPT"])
+    k12b_consts = (cst["EhPT"], cst["E67T"], cst["E67twT"], selET, selOT)
 
     def _fwd_impl(x, a, b, w_real, w_imag, wp, bp):
         a2, b2 = _pack_affine(a, b, C)
