@@ -176,11 +176,17 @@ def make_stepper_3d(cfg: Solver3DConfig):
     return step
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
-def simulate_foil(cfg: Solver3DConfig, key, n_frames: int, substeps: int = 4):
-    """Roll a 3-D wing trajectory; returns mid-span-slice frames
-    [n_frames, nx, ny, 3] with channels (u, v, p) — the 2-D fields the foil
-    dataset files store."""
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def simulate_foil(cfg: Solver3DConfig, key, n_frames: int, substeps: int = 4,
+                  full_volume: bool = False):
+    """Roll a 3-D wing trajectory.
+
+    Returns mid-span-slice frames [n_frames, nx, ny, 3] with channels
+    (u, v, p) — the 2-D fields the benchmark's foil dataset files store —
+    or, with ``full_volume=True``, the complete volumetric fields
+    [n_frames, nx, ny, nz, 4] with channels (u, v, w, p) (the reference's
+    WaterLily generator keeps the full 3-D state; the shipped HDF5 only
+    carries the mid-span plane)."""
     step = make_stepper_3d(cfg)
     body = wing_fraction(cfg)
     u = jnp.full((cfg.nx, cfg.ny, cfg.nz), cfg.u_inf, jnp.float32)
@@ -195,8 +201,10 @@ def simulate_foil(cfg: Solver3DConfig, key, n_frames: int, substeps: int = 4):
             return s, p
 
         state, ps = jax.lax.scan(sub, state, None, length=substeps)
-        u, v, _ = state
+        u, v, w = state
         p = ps[-1]
+        if full_volume:
+            return state, jnp.stack([u, v, w, p], axis=-1)
         return state, jnp.stack([u[:, :, mid], v[:, :, mid], p[:, :, mid]],
                                 axis=-1)
 

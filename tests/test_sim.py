@@ -132,6 +132,17 @@ def test_foil_3d():
     assert frames.shape == (8, 32, 24, 3)
     assert np.isfinite(frames).all()
 
+    # full-volume mode: complete (u, v, w, p) state; the mid-span u/v/p
+    # planes must coincide with the slice-mode output
+    vol = np.asarray(simulate_foil(cfg, jax.random.PRNGKey(0), n_frames=8,
+                                   substeps=1, full_volume=True))
+    assert vol.shape == (8, 32, 24, 12, 4)
+    assert np.isfinite(vol).all()
+    mid = cfg.nz // 2
+    np.testing.assert_allclose(vol[:, :, :, mid, 0], frames[..., 0], rtol=1e-6)
+    np.testing.assert_allclose(vol[:, :, :, mid, 1], frames[..., 1], rtol=1e-6)
+    np.testing.assert_allclose(vol[:, :, :, mid, 3], frames[..., 2], rtol=1e-6)
+
 
 def test_fsi_body_responds_to_flow():
     """The elastically mounted cylinder must actually move (VIV): body-center

@@ -38,7 +38,7 @@ MODELS = {
         batch=32, accum=4),
     "deeponet": dict(
         kw=dict(model_name="deeponet", p=128, dropout_rate=0.1),
-        batch=32, accum=1),
+        batch=32, accum=2),  # accum=1 exceeds 16G HBM (17.4G peak)
     "unet": dict(
         kw=dict(model_name="unet", dim_mults=[1, 2, 4],
                 compute_dtype="bfloat16", remat=True),
