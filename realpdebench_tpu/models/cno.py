@@ -185,6 +185,9 @@ class CNO3d(nn.Module):
     latent_lift_proj_dim: int = 64
     add_inv: bool = True
     activation: str = "LeakyReLU"
+    remat: bool = False  # rematerialize blocks: the filtered-lrelu path
+    # holds 2x-upsampled intermediates; remat bounds activation memory to
+    # ~one block so reference batch sizes fit a 16 GB chip
 
     def _features(self):
         lift_dim = self.channel_multiplier // 2
@@ -213,6 +216,13 @@ class CNO3d(nn.Module):
         # x: [B, T, H, W, C] channels-last (reference permutes; we stay native)
         enc_f, dec_in_f, dec_out_f, inv_f = self._features()
         enc_s, dec_s = self._sizes()
+        if self.remat:
+            # train is static arg 2 (module itself is arg 0 for nn.remat)
+            RB = nn.remat(ResidualBlock3d, static_argnums=(2,))
+            CB = nn.remat(CNOBlock3d, static_argnums=(2,))
+            LP = nn.remat(LiftProjectBlock3d, static_argnums=(2,))
+        else:
+            RB, CB, LP = ResidualBlock3d, CNOBlock3d, LiftProjectBlock3d
         common = dict(
             cutoff_den=self.cutoff_den, conv_kernel=self.conv_kernel,
             filter_size=self.filter_size,
@@ -220,73 +230,73 @@ class CNO3d(nn.Module):
             half_width_mult=self.half_width_mult, activation=self.activation,
         )
 
-        x = LiftProjectBlock3d(
+        x = LP(
             enc_f[0], self.in_size, enc_s[0],
             latent_dim=self.latent_lift_proj_dim, batch_norm=False,
             name="lift", **common,
-        )(x, train=train)
+        )(x, train)
 
         skip = []
         for i in range(self.N_layers):
             y = x
             for j in range(self.N_res):
-                y = ResidualBlock3d(
+                y = RB(
                     enc_f[i], enc_s[i], batch_norm=self.batch_norm,
                     name=f"res_{i}_{j}", **common,
-                )(y, train=train)
+                )(y, train)
             skip.append(y)
-            x = CNOBlock3d(
+            x = CB(
                 enc_f[i + 1], enc_s[i], enc_s[i + 1],
                 batch_norm=self.batch_norm, name=f"encoder_{i}", **common,
-            )(x, train=train)
+            )(x, train)
 
         # bottleneck resnets applied in reference order res_nets[-j-1]
         # (cno.py:490-491): the LAST constructed block runs first
         for j in range(self.N_res_neck):
-            x = ResidualBlock3d(
+            x = RB(
                 enc_f[self.N_layers], enc_s[self.N_layers],
                 batch_norm=self.batch_norm,
                 name=f"res_neck_{self.N_res_neck - 1 - j}", **common,
-            )(x, train=train)
+            )(x, train)
 
         for i in range(self.N_layers):
             if i == 0:
-                x = CNOBlock3d(
+                x = CB(
                     enc_f[self.N_layers], enc_s[self.N_layers],
                     dec_s[0], batch_norm=self.batch_norm,
                     name=f"ed_expansion_{self.N_layers}", **common,
-                )(x, train=train)
+                )(x, train)
             else:
-                aligned = CNOBlock3d(
+                aligned = CB(
                     enc_f[self.N_layers - i], enc_s[self.N_layers - i],
                     dec_s[i], batch_norm=self.batch_norm,
                     name=f"ed_expansion_{self.N_layers - i}", **common,
-                )(skip[-i], train=train)
+                )(skip[-i], train)
                 x = jnp.concatenate([x, aligned], axis=-1)
             if self.add_inv:
-                x = CNOBlock3d(
+                x = CB(
                     inv_f[i], dec_s[i], dec_s[i],
                     batch_norm=self.batch_norm, name=f"decoder_inv_{i}",
                     **common,
-                )(x, train=train)
-            x = CNOBlock3d(
+                )(x, train)
+            x = CB(
                 dec_out_f[i], dec_s[i], dec_s[i + 1],
                 batch_norm=self.batch_norm, name=f"decoder_{i}", **common,
-            )(x, train=train)
+            )(x, train)
 
-        aligned = CNOBlock3d(
+        aligned = CB(
             enc_f[0], enc_s[0], dec_s[self.N_layers],
             batch_norm=self.batch_norm, name="ed_expansion_0", **common,
-        )(skip[0], train=train)
+        )(skip[0], train)
         x = jnp.concatenate([x, aligned], axis=-1)
 
         out_dim_total = self.out_dim * self.out_dim_mult
         _out_size = self.in_size if self.out_size == 1 else self.out_size
-        x = LiftProjectBlock3d(
+        x = LP(
             out_dim_total, dec_s[-1], _out_size,
             latent_dim=self.latent_lift_proj_dim, batch_norm=False,
             name="project", **common,
-        )(x, train=train)
+        )(x, train)
 
         if self.out_dim_mult > 1:
             # reference cno.py:519-520: flatten (T,H,W,C·M) → (T·M,H,W,C)

@@ -194,6 +194,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             activation=kwargs.get("activation", "LeakyReLU"),
             shape_in=shape_in,
             shape_out=shape_out,
+            remat=bool(kwargs.get("remat", True)),
         )
         return ModelBundle(
             name="cno", module=module, mutable=("batch_stats",),

@@ -57,7 +57,7 @@ MODELS = {
                 num_encoder_layers=4, n_head=4, dim_feedforward=256,
                 fourier_modes_x=16, fourier_modes_y=20, fourier_modes_t=4,
                 num_regressor_layers=2, freq_dim=128, encoder_dropout=0.05),
-        batch=16, accum=4),
+        batch=16, accum=8),  # accum=4 peaks 16.3G on a 16G chip
     "transolver": dict(
         kw=dict(model_name="transolver", space_dim=3, n_layers=1,
                 n_hidden=256, n_head=8, H=128, W=64, D=20, fun_dim=0,
