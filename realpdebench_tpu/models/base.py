@@ -57,12 +57,19 @@ class ModelBundle:
         if not self.trainable:
             return {"params": {}}
         kwargs = {"train": False} if self.needs_train_flag else {}
-        # Initialize on host CPU: deterministic across backends, avoids
-        # burning accelerator time on a one-off trace, and sidesteps
-        # accelerator runtimes whose init-path ops are incomplete (the axon
-        # remote-compile TPU path). The caller device_puts the result.
-        with jax.default_device(_host_cpu()):
-            return self.module.init(rng, jnp.asarray(sample_x), **kwargs)
+        # Initialize on host CPU when available: deterministic across
+        # backends and avoids burning accelerator time on a one-off trace.
+        cpu = _host_cpu()
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return self.module.init(rng, jnp.asarray(sample_x), **kwargs)
+        # No host CPU platform (e.g. the axon remote-compile TPU tunnel,
+        # which registers only the accelerator): JIT the init — the eager
+        # op-by-op dispatch path is incomplete on such runtimes (FFT ops
+        # raise UNIMPLEMENTED outside compiled programs).
+        return jax.jit(
+            lambda r, xx: self.module.init(r, xx, **kwargs)
+        )(rng, jnp.asarray(sample_x))
 
     def split_variables(self, variables):
         params = variables["params"]
