@@ -106,12 +106,20 @@ class ChannelLayerNorm(nn.Module):
 
 class TemporalAttention(nn.Module):
     """Full attention over the T axis per spatial site, with rotary q/k and
-    relative-position bias (reference unet.py:280-356, 390)."""
+    relative-position bias (reference unet.py:280-356, 390).
+
+    ``use_pallas``: None → auto (site-lane fused kernel on TPU when H*W is
+    a multiple of 128; ops/pallas/temporal_attention.py); True/False
+    forces. XLA's batched [T,d]@[d,T] matmuls at batch B*H*W*h pad both
+    tiny dims to MXU tiles (~100x FLOP waste); the kernel runs them on the
+    VPU with sites riding the lanes."""
 
     dim: int
     heads: int = 4
     dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool | None = None
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, pos_bias=None):
@@ -123,6 +131,24 @@ class TemporalAttention(nn.Module):
         qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv",
                        dtype=self.dtype)(t)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        fused = self.use_pallas
+        if fused is None:
+            from realpdebench_tpu.ops.pallas.temporal_attention import (
+                supported,
+            )
+
+            fused = supported(H * W) and not self.is_initializing()
+        if fused:
+            out = self._sites_attention(q, k, v, pos_bias, B, T, H, W)
+        else:
+            out = self._einsum_attention(q, k, v, pos_bias, B, T, H, W)
+        out = nn.Dense(C, use_bias=False, name="to_out",
+                       dtype=self.dtype)(out)
+        return out.reshape(B, H, W, T, C).transpose(0, 3, 1, 2, 4)
+
+    def _einsum_attention(self, q, k, v, pos_bias, B, T, H, W):
+        hidden = self.heads * self.dim_head
 
         def heads(z):  # [B, S, T, hidden] → [B, S, h, T, d]
             return z.reshape(B, H * W, T, self.heads, self.dim_head).transpose(
@@ -141,10 +167,35 @@ class TemporalAttention(nn.Module):
         sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bshij,bshjd->bshid", attn, v)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(B, H * W, T, hidden)
-        out = nn.Dense(C, use_bias=False, name="to_out",
-                       dtype=self.dtype)(out)
-        return out.reshape(B, H, W, T, C).transpose(0, 3, 1, 2, 4)
+        return out.transpose(0, 1, 3, 2, 4).reshape(B, H * W, T, hidden)
+
+    def _sites_attention(self, q, k, v, pos_bias, B, T, H, W):
+        from realpdebench_tpu.ops.pallas.temporal_attention import (
+            temporal_attention_tokens,
+        )
+
+        S, h, d = H * W, self.heads, self.dim_head
+        hidden = h * d
+
+        q5 = q.reshape(B, S, T, h, d) * (self.dim_head ** -0.5)
+        k5 = k.reshape(B, S, T, h, d)
+        # freqs index the T axis (dim 2 here), not the penultimate one
+        freqs = rotary_freqs(T, min(32, d))[None, None, :, None, :]
+        # rotary promotes to f32; keep the kernel IO in compute dtype
+        q = apply_rotary(q5, freqs).reshape(B, S, T, hidden).astype(self.dtype)
+        k = apply_rotary(k5, freqs).reshape(B, S, T, hidden).astype(self.dtype)
+
+        pb = (jnp.zeros((h, T, T), jnp.float32) if pos_bias is None
+              else pos_bias)
+        # fence the kernel so its (default-layout) operand constraints do
+        # not leak into XLA's layout/algorithm choices for the surrounding
+        # convolutions (observed: conv wgrads fall off the MXU path)
+        q, k, v2 = jax.lax.optimization_barrier((q, k, v.astype(self.dtype)))
+        out = temporal_attention_tokens(
+            q, k, v2, pb, h, interpret=self.pallas_interpret,
+        )
+        (out,) = jax.lax.optimization_barrier((out,))
+        return out
 
 
 class SpatialAttention(nn.Module):
@@ -276,15 +327,22 @@ class Unet3d(nn.Module):
     out_time: int = 10
     use_sparse_linear_attn: bool = True
     remat: bool = True  # rematerialize blocks: activation memory ~one block
+    remat_attention: bool = False  # attention replay is the dominant bwd
+    # cost on TPU (batched tiny T=20 matmuls + layout churn); saving its
+    # activations costs ~2G at microbatch 3 and avoids the replay
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.remat:
             RB = nn.remat(ResnetBlock)
-            TA = nn.remat(TemporalAttention)
-            SA = nn.remat(SpatialAttention)
-            SLA = nn.remat(SpatialLinearAttention)
+            if self.remat_attention:
+                TA = nn.remat(TemporalAttention)
+                SA = nn.remat(SpatialAttention)
+                SLA = nn.remat(SpatialLinearAttention)
+            else:
+                TA, SA, SLA = (TemporalAttention, SpatialAttention,
+                               SpatialLinearAttention)
         else:
             RB, TA, SA, SLA = (ResnetBlock, TemporalAttention,
                                SpatialAttention, SpatialLinearAttention)
