@@ -16,15 +16,23 @@ from typing import Iterable, Iterator
 import jax
 
 
-def prefetch_to_device(iterator: Iterable, sharding, size: int = 2) -> Iterator:
+def prefetch_to_device(iterator: Iterable, sharding, size: int = 2,
+                       process_sharded: bool = False) -> Iterator:
     """Yield elements of ``iterator`` as device arrays, ``size`` steps ahead.
 
     Each element is a pytree of numpy arrays; every leaf is placed with the
     same ``sharding`` pattern applied to its leading (batch) axis.
+
+    ``process_sharded`` must be True iff the iterator yields per-process
+    slices of a global batch (``DataLoader(process_shard=True)``); the slices
+    are then assembled into logical global arrays with
+    ``jax.make_array_from_process_local_data``. A loader that yields full
+    batches (e.g. the surrogate loop's) keeps the plain ``device_put`` path
+    regardless of process count.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    multi_process = jax.process_count() > 1
+    multi_process = process_sharded and jax.process_count() > 1
 
     def put(batch):
         def _place(x):

@@ -106,17 +106,28 @@ class DataLoader:
         per = bs // self._n_proc
         for s in range(0, stop, bs):
             batch_idx = idx[s : s + bs]
+            n_valid = len(batch_idx)
+            if self.pad_last and n_valid < bs:
+                # pad at the INDEX level so padding composes with
+                # process_shard: the padded global batch is always exactly
+                # `bs`, so each process slice is exactly `per`. The mask is
+                # GLOBAL-sized (padding sits at the end of the global batch;
+                # callers drop `mask.sum()` tail rows after any gather).
+                batch_idx = np.concatenate(
+                    [batch_idx, np.repeat(batch_idx[-1:], bs - n_valid)])
+            elif not self.pad_last and self._n_proc > 1 and n_valid < bs:
+                raise ValueError(
+                    "process_shard with drop_last=False needs pad_last=True "
+                    "to keep the final partial batch evenly divisible across "
+                    f"processes (got {n_valid} rows for {self._n_proc} "
+                    "processes)")
             if self._n_proc > 1:
                 batch_idx = batch_idx[self._proc * per : (self._proc + 1) * per]
             xs, ys = self._fetch(batch_idx)
-            if self.pad_last and len(batch_idx) < bs:
-                pad = bs - len(batch_idx)
-                mask = np.concatenate([np.ones(len(batch_idx)), np.zeros(pad)])
-                xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
-                ys = np.concatenate([ys, np.repeat(ys[-1:], pad, axis=0)])
-                yield xs, ys, mask.astype(np.float32)
-            elif self.pad_last:
-                yield xs, ys, np.ones(bs, np.float32)
+            if self.pad_last:
+                mask = np.zeros(bs, np.float32)
+                mask[:n_valid] = 1.0
+                yield xs, ys, mask
             else:
                 yield xs, ys
 

@@ -60,8 +60,12 @@ def fft_resize_2d(x, out_size):
     # runtimes); complex exists only at the FFT boundary
     zr = jnp.zeros((*xc.shape[:-2], Ho, Wo // 2 + 1), jnp.float32)
     zi = zr
-    for sl in ((..., slice(None, top1), slice(None, top2)),
-               (..., slice(-bot1, None), slice(None, top2))):
+    # skip the negative-frequency copy for degenerate axes (bot1 == 0:
+    # slice(-0, None) would select the WHOLE axis, not nothing)
+    slices = [(..., slice(None, top1), slice(None, top2))]
+    if bot1:
+        slices.append((..., slice(-bot1, None), slice(None, top2)))
+    for sl in slices:
         zr = zr.at[sl].set(f[sl].real)
         zi = zi.at[sl].set(f[sl].imag)
     out = jnp.fft.irfft2(jax.lax.complex(zr, zi), s=(Ho, Wo)) \
@@ -88,8 +92,12 @@ def fft_resize_3d(x, out_size):
     d1 = min(f.shape[-1], Do // 2 + 1)
     zr = jnp.zeros((*xc.shape[:2], Ho, Wo, Do // 2 + 1), jnp.float32)
     zi = zr
-    for sh in (slice(None, h1), slice(-h2, None)):
-        for sw in (slice(None, w1), slice(-w2, None)):
+    # h2/w2 == 0 (axis size 1): slice(-0, None) selects the whole axis —
+    # skip the negative-frequency copy for those degenerate axes
+    h_slices = [slice(None, h1)] + ([slice(-h2, None)] if h2 else [])
+    w_slices = [slice(None, w1)] + ([slice(-w2, None)] if w2 else [])
+    for sh in h_slices:
+        for sw in w_slices:
             sl = (..., sh, sw, slice(None, d1))
             zr = zr.at[sl].set(f[sl].real)
             zi = zi.at[sl].set(f[sl].imag)

@@ -280,6 +280,14 @@ class FNO3d(nn.Module):
 
         B, T, H, W, cin = xg.shape
         p, C = self.padding, self.width
+        # The packed-lane layout pairs adjacent w columns; a forced
+        # use_pallas=True with odd W or odd W+padding would silently skew
+        # packing vs the BN site count — fail loudly instead (the
+        # use_pallas=None auto path already routes such shapes unfused).
+        if W % 2 or (W + p) % 2:
+            raise ValueError(
+                f"fused FNO path needs even W and even W+padding, got "
+                f"W={W}, padding={p}; use use_pallas=False/None")
         Tp, Hp, Wp = T + p, H + p, W + p
         J0, Jp, C2 = W // 2, Wp // 2, 2 * C
         dt = self.compute_dtype

@@ -123,10 +123,13 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
         process_shard=True,
     )
     # pad_last keeps every val batch the same shape (one compiled eval step);
-    # padded rows are dropped host-side before the metric sweep
+    # padded rows are dropped host-side before the metric sweep. The val
+    # loader is process-sharded like the train loader so multi-host
+    # validation assembles global batches the same way.
     val_loader = DataLoader(
-        val_ds, batch_size=int(cfg.test_batch_size), shuffle=False,
-        num_workers=int(cfg.get("num_workers", 4)), pad_last=True,
+        val_ds, batch_size=mesh_ctx.pad_batch(int(cfg.test_batch_size)),
+        shuffle=False, num_workers=int(cfg.get("num_workers", 4)),
+        pad_last=True, process_shard=True,
     )
 
     normalizer = build_normalizer(cfg.get("normalizer", "gaussian"), norm_ds)
@@ -179,7 +182,8 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
     num_update = int(cfg.num_update)
     val_every = max(1, num_update // 50)
     batches = prefetch_to_device(
-        cycle_loader(train_loader), mesh_ctx.batch_sharding
+        cycle_loader(train_loader), mesh_ctx.batch_sharding,
+        process_sharded=True,
     )
 
     history = {"train_loss": [], "val": {k: [] for k in VAL_KEYS}}
@@ -233,7 +237,7 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
                 c = y_probe.shape[-1] - unmeasured_c
                 eval_fn = make_eval_step(bundle, normalizer, c, mesh_ctx)
             val = run_validation(
-                state, bundle, eval_fn, val_loader, c, rng
+                state, bundle, eval_fn, val_loader, c, rng, mesh_ctx
             )
             for kk in VAL_KEYS:
                 history["val"][kk].append(val[kk])
@@ -275,20 +279,47 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
     return state, history
 
 
-def run_validation(state, bundle, eval_fn, val_loader, c, rng):
-    """Full-val-set metric sweep (reference train.py:344-402)."""
+def run_validation(state, bundle, eval_fn, val_loader, c, rng,
+                   mesh_ctx: MeshContext | None = None):
+    """Full-val-set metric sweep (reference train.py:344-402).
+
+    Multi-host: the val loader yields per-process slices of each global
+    batch (plus a GLOBAL pad mask); slices are assembled onto the mesh with
+    ``make_array_from_process_local_data`` and predictions are gathered back
+    to every host with ``process_allgather`` before the (host-side, full-
+    array) metric sweep.
+    """
+    multi = jax.process_count() > 1
+
+    def _assemble(x):
+        if not multi:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = mesh_ctx.batch_sharding
+        spec = P(*(s.spec + (None,) * (x.ndim - len(s.spec))))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(s.mesh, spec), x)
+
+    def _gather(a):
+        if not multi:
+            return np.asarray(a)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
     variables = {"params": state.params, **state.model_state}
     nmse_sum, n_batches = 0.0, 0
     preds, targets = [], []
     for batch in val_loader:
-        x, y = batch[0], batch[1]
-        n_real = int(batch[2].sum()) if len(batch) > 2 else x.shape[0]
+        x, y = _assemble(batch[0]), _assemble(batch[1])
+        n_real = int(batch[2].sum()) if len(batch) > 2 else batch[0].shape[0]
         rng, k = jax.random.split(rng)
         nmse, pred_phys, target_phys = eval_fn(variables, x, y, k)
         nmse_sum += float(nmse)
         n_batches += 1
-        preds.append(np.asarray(pred_phys)[:n_real])
-        targets.append(np.asarray(target_phys)[:n_real])
+        preds.append(_gather(pred_phys)[:n_real])
+        targets.append(_gather(target_phys)[:n_real])
     vals = eval_metrics(
         np.concatenate(preds, axis=0), np.concatenate(targets, axis=0), c
     )

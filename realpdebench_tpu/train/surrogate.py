@@ -61,10 +61,16 @@ def run_surrogate_training(cfg, exp_path):
     logging.info(f"Data loaded from {train_ds.numerical_dataset_path}")
 
     global_bs = mesh_ctx.pad_batch(int(cfg.train_batch_size))
+    # multi-host: per-process slices, assembled by prefetch_to_device
+    # (process_sharded=True) — same pattern as train/loop.py
     train_loader = DataLoader(train_ds, batch_size=global_bs, shuffle=True,
-                              drop_last=True,
+                              drop_last=True, process_shard=True,
+                              seed=int(cfg.get("seed", 0)),
                               num_workers=int(cfg.get("num_workers", 4)))
-    test_loader = DataLoader(test_ds, batch_size=int(cfg.test_batch_size),
+    test_loader = DataLoader(test_ds,
+                             batch_size=mesh_ctx.pad_batch(
+                                 int(cfg.test_batch_size)),
+                             pad_last=True, process_shard=True,
                              num_workers=int(cfg.get("num_workers", 4)))
 
     # surrogate normalizer stats are never cached (train_surrogate.py:113-116)
