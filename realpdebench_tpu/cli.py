@@ -95,6 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     from realpdebench_tpu.train.__main__ import main as train_main
     from realpdebench_tpu.eval.__main__ import main as eval_main
+    from realpdebench_tpu.eval.parity import main as parity_main
     from realpdebench_tpu.tools.convert_hdf5_to_hf import main as convert_main
     from realpdebench_tpu.train.surrogate import main as surrogate_main
 
@@ -102,6 +103,8 @@ def build_parser() -> argparse.ArgumentParser:
                      "Train a model (same flags as python -m realpdebench_tpu.train)")
     _add_passthrough(subparsers, "eval", eval_main,
                      "Evaluate a checkpoint")
+    _add_passthrough(subparsers, "parity", parity_main,
+                     "Side-by-side reference-torch vs TPU eval of a .pth")
     _add_passthrough(subparsers, "train-surrogate", surrogate_main,
                      "Train the combustion surrogate")
     _add_passthrough(subparsers, "convert", convert_main,
@@ -109,7 +112,7 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-_PASSTHROUGH = ("train", "eval", "train-surrogate", "convert")
+_PASSTHROUGH = ("train", "eval", "parity", "train-surrogate", "convert")
 
 
 def main(argv: Optional[list] = None) -> None:
@@ -121,10 +124,12 @@ def main(argv: Optional[list] = None) -> None:
     if argv and argv[0] in _PASSTHROUGH:
         from realpdebench_tpu.train.__main__ import main as train_main
         from realpdebench_tpu.eval.__main__ import main as eval_main
+        from realpdebench_tpu.eval.parity import main as parity_main
         from realpdebench_tpu.tools.convert_hdf5_to_hf import main as convert_main
         from realpdebench_tpu.train.surrogate import main as surrogate_main
 
         target = {"train": train_main, "eval": eval_main,
+                  "parity": parity_main,
                   "train-surrogate": surrogate_main,
                   "convert": convert_main}[argv[0]]
         raise SystemExit(_run_module(target, argv[1:]))
