@@ -21,6 +21,29 @@ import pytest
 
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
+# Module names the reference-parity tests may stub into sys.modules when the
+# real package is absent. A stub is a bare types.ModuleType (its __spec__ is
+# None); leaving one installed poisons later imports — e.g. `datasets` probes
+# torchvision with importlib.util.find_spec, which raises
+# "ValueError: torchvision.__spec__ is None" on a leftover stub. Real
+# installed packages always carry a spec and are never touched.
+_STUBBABLE = ("torchvision", "PIL", "pkg_resources", "timm", "einops_exts",
+              "rotary_embedding_torch", "torchinfo", "psutil", "ptwt")
+
+
+@pytest.fixture(autouse=True)
+def _remove_import_stubs():
+    """Uninstall parity-test import stubs after every test so execution order
+    cannot leak them into unrelated subsystems (one-process suite hygiene)."""
+    yield
+    import sys
+
+    for name in list(sys.modules):
+        if name.split(".")[0] in _STUBBABLE:
+            mod = sys.modules[name]
+            if mod is None or getattr(mod, "__spec__", None) is None:
+                del sys.modules[name]
+
 
 @pytest.fixture
 def rng():

@@ -70,7 +70,13 @@ def _install_import_stubs():
              "timm.models.layers": layers})
 
 
-_install_import_stubs()
+# Installed per-test (idempotent) rather than once at module import: the
+# conftest `_remove_import_stubs` autouse fixture uninstalls stubs after
+# every test so they cannot poison unrelated imports (e.g. `datasets`).
+@pytest.fixture(autouse=True)
+def _stubs():
+    _install_import_stubs()
+    yield
 
 
 def _save_reference_ckpt(tmp_path, tm, name):
