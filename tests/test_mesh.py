@@ -162,3 +162,15 @@ def test_prefetch_assembles_on_single_process():
         assert x.shape == (8, 3, 3)
         assert len(x.sharding.device_set) == 8
         np.testing.assert_array_equal(np.asarray(x), batches[i][0])
+
+
+@pytest.mark.parametrize("family", ["unet", "dpot"])
+def test_dp_mp_train_step_other_families(family):
+    """One dp=4×mp=2 train step for conv-heavy (UNet) and patch/spectral
+    (DPOT) trees — GSPMD evidence beyond FNO (VERDICT round-2 item 5).
+    FNO's dp×mp step is covered by the driver dryrun + test_partitioning."""
+    from __graft_entry__ import _DRYRUN_FAMILIES, _dryrun_one
+
+    ctx = make_mesh_context("dp=4,mp=2")
+    loss = _dryrun_one(ctx, family, _DRYRUN_FAMILIES[family])
+    assert np.isfinite(loss)
