@@ -86,3 +86,23 @@ def shard_train_state(state, mesh_ctx: MeshContext):
         opt_state=opt_state,
         step=jax.device_put(state.step, mesh_ctx.replicated),
     )
+
+
+def token_constraint(x, mesh, token_axis: int = 1):
+    """Sequence parallelism: shard the token axis of ``x`` over ``mp``.
+
+    Galerkin attention is ``Q · (LN(K)ᵀLN(V)/N)`` — the only cross-token
+    coupling is the N-contraction in the scores, which GSPMD turns into a
+    per-shard partial matmul + an ICI ``psum`` when the token axis is sharded
+    (reference counterpart: the full-token attention in
+    galerkin_transformer_libs/layers.py:708-734, single-device). LayerNorms
+    are per-token, FFNs per-token, so everything else stays local.
+
+    No-op when ``mesh`` is None or has no model axis.
+    """
+    if mesh is None or mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        return x
+    spec = [None] * x.ndim
+    spec[token_axis] = MODEL_AXIS
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))

@@ -24,10 +24,11 @@ runs (published leaderboard numbers were produced *with* that behavior).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from realpdebench_tpu.ops.activations import gelu as act_gelu
 
@@ -71,17 +72,23 @@ class GalerkinAttention(nn.Module):
     diagonal_weight: float = 1e-2
     score_dropout: float = 0.5  # reference F.dropout default (train-only here)
     reference_eval_dropout: bool = False  # compat: stochastic dropout at eval
+    seq_mesh: Optional[Mesh] = None  # sequence parallelism: tokens over mp
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from realpdebench_tpu.core.partitioning import token_constraint
+
         B, N, _ = x.shape
         d_k = self.d_model // self.n_head
         init = _xavier_diag_init(self.xavier_init, self.diagonal_weight)
 
+        x = token_constraint(x, self.seq_mesh)
+
         def proj(name):
             h = nn.Dense(self.d_model, kernel_init=init,
                          bias_init=nn.initializers.zeros, name=name)(x)
-            return h.reshape(B, N, self.n_head, d_k).transpose(0, 2, 1, 3)
+            h = h.reshape(B, N, self.n_head, d_k).transpose(0, 2, 1, 3)
+            return token_constraint(h, self.seq_mesh, token_axis=2)
 
         q = proj("q")
         k = proj("k")
@@ -115,13 +122,17 @@ class GKTEncoderLayer(nn.Module):
     xavier_init: float = 1e-2
     diagonal_weight: float = 1e-2
     reference_eval_dropout: bool = False
+    seq_mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from realpdebench_tpu.core.partitioning import token_constraint
+
         att = GalerkinAttention(
             self.d_model, self.n_head, norm_eps=self.norm_eps,
             xavier_init=self.xavier_init, diagonal_weight=self.diagonal_weight,
             reference_eval_dropout=self.reference_eval_dropout,
+            seq_mesh=self.seq_mesh,
             name="attn",
         )(x, train=train)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(att)
@@ -132,6 +143,7 @@ class GKTEncoderLayer(nn.Module):
         h = nn.Dropout(self.ffn_dropout, deterministic=not train)(h)
         h = nn.Dense(self.d_model, name="ff2")(h)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = token_constraint(x, self.seq_mesh)
         if self.layer_norm:
             x = nn.LayerNorm(epsilon=self.norm_eps, name="layer_norm2")(x)
         return x
@@ -225,16 +237,19 @@ class GalerkinTransformer3d(nn.Module):
     xavier_init: float = 1e-2
     diagonal_weight: float = 1e-2
     reference_eval_dropout: bool = False
+    seq_mesh: Optional[Mesh] = None  # sequence parallelism: tokens over mp
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from realpdebench_tpu.core.partitioning import token_constraint
+
         B, T, H, W, C = x.shape
         t_in, t_out = self.shape_in[0], self.shape_out[0]
         c_out = self.shape_out[-1]
         mult = t_out // t_in
 
         h = nn.Dense(self.n_hidden, name="downscaler")(x)
-        h = h.reshape(B, -1, self.n_hidden)
+        h = token_constraint(h.reshape(B, -1, self.n_hidden), self.seq_mesh)
         for i in range(self.num_encoder_layers):
             h = GKTEncoderLayer(
                 self.n_hidden, self.n_head, self.dim_feedforward,
@@ -243,6 +258,7 @@ class GalerkinTransformer3d(nn.Module):
                 xavier_init=self.xavier_init,
                 diagonal_weight=self.diagonal_weight,
                 reference_eval_dropout=self.reference_eval_dropout,
+                seq_mesh=self.seq_mesh,
                 name=f"encoder_{i}",
             )(h, train=train)
         h = h.reshape(B, T, H, W, self.n_hidden)

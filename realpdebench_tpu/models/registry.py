@@ -134,6 +134,10 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             reference_eval_dropout=bool(
                 kwargs.get("reference_eval_dropout", False)
             ),
+            # sequence parallelism (tokens over mp) — a Mesh object threaded
+            # by the caller (train/loop.py) when `seq_shard: true`; not a
+            # YAML scalar
+            seq_mesh=kwargs.get("seq_mesh"),
         )
         return ModelBundle(
             name="galerkin_transformer", module=module,

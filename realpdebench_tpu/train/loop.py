@@ -133,7 +133,11 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
     )
 
     normalizer = build_normalizer(cfg.get("normalizer", "gaussian"), norm_ds)
-    bundle = build_model(train_dataset=train_ds, **cfg.to_dict())
+    extra = {}
+    if cfg.get("seq_shard") and mesh_ctx.mp_size > 1:
+        # sequence parallelism: GKT token axis over mp (core/partitioning.py)
+        extra["seq_mesh"] = mesh_ctx.mesh
+    bundle = build_model(train_dataset=train_ds, **cfg.to_dict(), **extra)
 
     x0, y0 = train_ds[0]
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
