@@ -107,6 +107,25 @@ def main():
     n_stalled = len(window_rates) - len(stable)
     steps_per_sec_chip = steps_per_sec / n_chips
 
+    # MFU: executed FLOPs per step from XLA's cost model when the runtime
+    # exposes it, else the analytic fwd+bwd estimate from the docstring
+    # (~3.7 TFLOP: 4 truncated-DFT spectral layers + pointwise convs at
+    # bs32·(26,70,134)·w64, fwd + ~2x bwd). v5e-1 peak: 197 TFLOP/s bf16.
+    flops_per_step, flops_src = 3.7e12, "analytic"
+    try:
+        ca = step.lower(state, xd, yd, key).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        if ca and float(ca.get("flops", 0)) > 0:
+            # cost analysis is per-program = one microbatch chain; the jit
+            # step runs the whole accumulation, so this is already per step
+            flops_per_step = float(ca["flops"])
+            flops_src = "xla_cost_analysis"
+    except Exception:
+        pass
+    peak_flops = 197e12 if n_chips == 1 else 197e12 * n_chips
+    mfu = steps_per_sec * flops_per_step / peak_flops
+
     # rollout frames/sec (eval path, device-synthesized batch); free the
     # training buffers first — opt state + donated batches otherwise sit in
     # HBM alongside the rollout activations
@@ -147,6 +166,9 @@ def main():
         "device": str(jax.devices()[0].platform),
         "final_loss": final_loss,
         "grad_accum": grad_accum,
+        "mfu": round(mfu, 4),
+        "flops_per_step": flops_per_step,
+        "flops_model": flops_src,
     }
     print(json.dumps(result))
 

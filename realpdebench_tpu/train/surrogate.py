@@ -115,13 +115,17 @@ def run_surrogate_training(cfg, exp_path):
             variables = {"params": state.params, **state.model_state}
             nmse_sum, nb = 0.0, 0
             preds, targets = [], []
-            for bx, by in test_loader:
+            for batch in test_loader:
+                bx, by = batch[0], batch[1]
+                # pad_last mask (GLOBAL-sized): drop padded tail rows
+                n_real = (int(batch[2].sum()) if len(batch) > 2
+                          else bx.shape[0])
                 rng, k = jax.random.split(rng)
                 nmse, p, t = eval_fn(variables, bx, by, k)
                 nmse_sum += float(nmse)
                 nb += 1
-                preds.append(np.asarray(p))
-                targets.append(np.asarray(t))
+                preds.append(np.asarray(p)[:n_real])
+                targets.append(np.asarray(t)[:n_real])
             pred = np.concatenate(preds)
             target = np.concatenate(targets)
             rmse = float(np.sqrt(np.mean((pred - target) ** 2)))

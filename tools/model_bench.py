@@ -113,6 +113,17 @@ def run_one(name: str, n_steps: int = 8) -> dict:
     _ = float(np.asarray(jax.device_get(loss)))
     compile_s = time.time() - t0
 
+    # calibration window → size timed windows to ≥2 s of device work each,
+    # so the per-window loss-fetch barrier (slow tunnel) cannot dominate the
+    # measurement for fast models (dpot at ~40 ms/step needs ~50 steps)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        key, k = jax.random.split(key)
+        state, loss = step(state, x, y, k)
+    _ = float(np.asarray(jax.device_get(loss)))
+    est_rate = n_steps / (time.perf_counter() - t0)
+    n_steps = max(n_steps, min(128, int(2.0 * est_rate)))
+
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
