@@ -68,8 +68,10 @@ def _act(u, variant: str):
     if variant == "none":
         return u
     if variant == "tanh":
+        # u*sigmoid(2i) == 0.5*u*(1+tanh(i)) — same polynomial-tanh GELU,
+        # one transcendental on the sigmoid fast path
         inner = _SQRT_2_OVER_PI * (u + _GELU_C * u * u * u)
-        return 0.5 * u * (1.0 + jnp.tanh(inner))
+        return u * jax.nn.sigmoid(2.0 * inner)
     if variant == "exact":
         return 0.5 * u * (1.0 + jax.lax.erf(u / math.sqrt(2.0)))
     raise ValueError(variant)
@@ -127,22 +129,40 @@ def _ct_consts(Hp: int, Wp: int, m2: int, m3: int):
     IhR, IhI = f32(Ih.real), f32(Ih.imag)
     IwRE, IwRO = f32(Iw_re[:, 0::2]), f32(Iw_re[:, 1::2])
     IwIE, IwIO = f32(Iw_im[:, 0::2]), f32(Iw_im[:, 1::2])
+    # 8-aligned padded dims: Mosaic relayouts (transposes) on sublane dims
+    # that are not multiples of 8 fall off the fast path (measured ~1.3 ms
+    # per 600K-element transpose at (70, 67) vs ~0 at (72, 72)). All
+    # constants are padded with ZEROS at the aligned boundaries, and the
+    # kernels pad activation rows with zeros, so every padded contraction
+    # is exact.
+    Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
+    pr = lambda a, n: np.pad(a, ((0, n - a.shape[0]), (0, 0)))  # pad rows
+    pc = lambda a, n: np.pad(a, ((0, 0), (0, n - a.shape[1])))  # pad cols
     return dict(
-        E67X=f32(np.concatenate([E67, E67tw], axis=1)),
-        E67T=f32(E67.T),
-        E67twT=f32(E67tw.T),
-        EhP=f32(np.concatenate([EhR, EhI], axis=1)),
-        EhPT=f32(np.concatenate([EhR.T, EhI.T], axis=1)),
-        IhP=f32(np.concatenate([IhR, IhI], axis=1)),
-        IhPT=f32(np.concatenate([IhR.T, IhI.T], axis=1)),
-        IwE2=f32(np.concatenate([IwRE, IwIE], axis=0)),
-        IwO2=f32(np.concatenate([IwRO, IwIO], axis=0)),
-        IwET=f32(np.concatenate([IwRE.T, IwIE.T], axis=1)),
-        IwOT=f32(np.concatenate([IwRO.T, IwIO.T], axis=1)),
+        E67X=pr(f32(np.concatenate([E67, E67tw], axis=1)), J8),
+        E67T=pc(f32(E67.T), J8),
+        E67twT=pc(f32(E67tw.T), J8),
+        EhP=pr(f32(np.concatenate([EhR, EhI], axis=1)), Hp8),
+        EhPT=f32(np.concatenate(
+            [pc(f32(EhR.T), Hp8), pc(f32(EhI.T), Hp8)], axis=1)),
+        IhP=f32(np.concatenate(
+            [pc(f32(IhR), Hp8), pc(f32(IhI), Hp8)], axis=1)),
+        IhPT=pr(f32(np.concatenate([IhR.T, IhI.T], axis=1)), Hp8),
+        IwE2=pc(f32(np.concatenate([IwRE, IwIE], axis=0)), J8),
+        IwO2=pc(f32(np.concatenate([IwRO, IwIO], axis=0)), J8),
+        IwET=pr(f32(np.concatenate([IwRE.T, IwIE.T], axis=1)), J8),
+        IwOT=pr(f32(np.concatenate([IwRO.T, IwIO.T], axis=1)), J8),
     )
 
 
-def _dot(a, b, contract):
+def _dot(a, b, contract, mxu=None):
+    """MXU dot with f32 accumulation. ``mxu=bfloat16`` casts both operands
+    (bf16 multiplies run ~4x the f32 rate on the v5e MXU); selected only
+    when the model already opted into compute_dtype=bfloat16, so the f32
+    default path stays bit-stable for parity tests."""
+    if mxu is not None:
+        a = a.astype(mxu)
+        b = b.astype(mxu)
     return jax.lax.dot_general(
         a, b, dimension_numbers=(contract, ((), ())),
         preferred_element_type=jnp.float32,
@@ -155,24 +175,31 @@ def _dot(a, b, contract):
 
 
 def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
-               y_ref, *, Hp, J, C2, m3, act):
+               y_ref, *, Hp, J, C2, m3, act, mxu):
+    dot = lambda a, b, c: _dot(a, b, c, mxu)
+    Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
     xm = x_ref[0].astype(jnp.float32)              # [R, 128]
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
-    z3 = zm.reshape(Hp, J, C2)                     # sublane split (free)
+    # 8-aligned zero-padding before every relayout/dot: misaligned sublane
+    # shapes (70, 67) fall off the Mosaic fast path (~1.3 ms per 600K-elem
+    # transpose); padded rows are zeros and the padded DFT matrices carry
+    # zero rows, so all contractions stay exact
+    z3 = jnp.pad(zm.reshape(Hp, J, C2),
+                 ((0, Hp8 - Hp), (0, J8 - J), (0, 0)))
     # Cooley–Tukey W stage: one dot over the pair axis j against
     # [E67 | E67·tw] — the parity twiddle is folded into the matrix, so
     # combining parities is slices+adds only (no VPU multiplies)
-    S = _dot(z3, e67x[:], (((1,), (0,))))          # [Hp, C2, 4m3]
+    S = dot(z3, e67x[:], (((1,), (0,))))          # [Hp8, C2, 4m3]
     C = C2 // 2
-    Xr = S[:, :C, 0:m3] + S[:, C:, 2 * m3:3 * m3]  # [Hp, C, m3]
+    Xr = S[:, :C, 0:m3] + S[:, C:, 2 * m3:3 * m3]  # [Hp8, C, m3]
     Xi = S[:, :C, m3:2 * m3] + S[:, C:, 3 * m3:]
-    # H stage (contract Hp): put Hp minor, then flatten (C, m3) into the
+    # H stage (contract Hp8): put Hp8 minor, then flatten (C, m3) into the
     # matmul M dim — shared-RHS batched dots become ONE 2-D dot
-    XrT = Xr.transpose(1, 2, 0).reshape(C * m3, Hp)
-    XiT = Xi.transpose(1, 2, 0).reshape(C * m3, Hp)
-    A = _dot(XrT, ehp[:], (((1,), (0,))))          # [C*m3, 4m2]
-    Bm = _dot(XiT, ehp[:], (((1,), (0,))))
+    XrT = Xr.transpose(1, 2, 0).reshape(C * m3, Hp8)
+    XiT = Xi.transpose(1, 2, 0).reshape(C * m3, Hp8)
+    A = dot(XrT, ehp[:], (((1,), (0,))))          # [C*m3, 4m2]
+    Bm = dot(XiT, ehp[:], (((1,), (0,))))
     m2x2 = A.shape[1] // 2
     yR = A[:, :m2x2] - Bm[:, m2x2:]                # [C*m3, 2m2]
     yI = A[:, m2x2:] + Bm[:, :m2x2]
@@ -189,7 +216,8 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
 
 def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
                ihp, iwe2, iwo2, selET, selOT,
-               s_ref, stats_ref, *, Hp, J, C2, m3, act):
+               s_ref, stats_ref, *, Hp, J, C2, m3, act, mxu):
+    dot = lambda a, b, c: _dot(a, b, c, mxu)
     i = pl.program_id(0)
     C = C2 // 2
     g = g_ref[0]                                   # [2m2*m3, 2C]
@@ -199,31 +227,34 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
         m3 * C, m2x2)
     gIT = g[:, C:].reshape(m2x2, m3, C).transpose(1, 2, 0).reshape(
         m3 * C, m2x2)
-    # inverse H (contract 2m2), [IhR | IhI] packed
-    A = _dot(gRT, ihp[:], (((1,), (0,))))          # [m3*C, 2Hp]
-    Bm = _dot(gIT, ihp[:], (((1,), (0,))))
-    ihR = A[:, :Hp] - Bm[:, Hp:]
-    ihI = Bm[:, :Hp] + A[:, Hp:]
-    ihRT = ihR.reshape(m3, C, Hp).transpose(2, 1, 0)  # [Hp, C, m3]
-    ihIT = ihI.reshape(m3, C, Hp).transpose(2, 1, 0)
+    Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
+    # inverse H (contract 2m2), [IhR | IhI] packed at Hp8 boundaries
+    A = dot(gRT, ihp[:], (((1,), (0,))))          # [m3*C, 2Hp8]
+    Bm = dot(gIT, ihp[:], (((1,), (0,))))
+    ihR = A[:, :Hp8] - Bm[:, Hp8:]
+    ihI = Bm[:, :Hp8] + A[:, Hp8:]
+    ihRT = ihR.reshape(m3, C, Hp8).transpose(2, 1, 0)  # [Hp8, C, m3]
+    ihIT = ihI.reshape(m3, C, Hp8).transpose(2, 1, 0)
     # inverse W per output parity (Hermitian-doubled real projection):
-    # lane-concat (re ‖ im) once, flatten (Hp, C) into M, contract against
+    # lane-concat (re ‖ im) once, flatten (Hp8, C) into M, contract against
     # the row-stacked [re; im] inverse matrices — one 2-D dot per parity
-    ihC = jnp.concatenate([ihRT, ihIT], axis=2).reshape(Hp * C, 2 * m3)
-    yE = _dot(ihC, iwe2[:], (((1,), (0,))))        # [Hp*C, J]
-    yO = _dot(ihC, iwo2[:], (((1,), (0,))))
-    yEt = yE.reshape(Hp, C, J).transpose(0, 2, 1).reshape(Hp * J, C)
-    yOt = yO.reshape(Hp, C, J).transpose(0, 2, 1).reshape(Hp * J, C)
+    ihC = jnp.concatenate([ihRT, ihIT], axis=2).reshape(Hp8 * C, 2 * m3)
+    yE = dot(ihC, iwe2[:], (((1,), (0,))))        # [Hp8*C, J8]
+    yO = dot(ihC, iwo2[:], (((1,), (0,))))
+    yEt = yE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
+        Hp * J, C)
+    yOt = yO.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
+        Hp * J, C)
     # big lane concats cost ~8 us/block on this Mosaic (measured); selection
     # GEMMs against [I|0]/[0|I] run on the MXU at ~0.3 us instead
-    y2 = _dot(yEt, selET[:], (((1,), (0,)))) + _dot(
+    y2 = dot(yEt, selET[:], (((1,), (0,)))) + dot(
         yOt, selOT[:], (((1,), (0,))))             # [R, C2]
     # pointwise via the block-diagonal [[Wp,0],[0,Wp]] matrix: packed lanes
     # never split
     xm = x_ref[0].astype(jnp.float32)
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
-    zp = _dot(zm, wp2_ref[:], (((1,), (0,))))      # [R, C2]
+    zp = dot(zm, wp2_ref[:], (((1,), (0,))))      # [R, C2]
     s = y2 + zp + bp2_ref[:]
     s_ref[0] = s.astype(s_ref.dtype)
     part = jnp.concatenate(
@@ -244,27 +275,31 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
 
 def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
                 ihpt, iwet, iwot, selE, selO,
-                dg_ref, *, Hp, J, C2, m3, act):
+                dg_ref, *, Hp, J, C2, m3, act, mxu):
+    dot = lambda a, b, c: _dot(a, b, c, mxu)
     C = C2 // 2
     sm = s_ref[0].astype(jnp.float32)              # [R, 128]
     dsm = ds_ref[0].astype(jnp.float32)
     ds_eff = dsm + ds1_ref[:] + 2.0 * sm * ds2_ref[:]
     # adjoint of the output packing: parity selection via GEMMs (big lane
     # slices cost ~8 us/block on this Mosaic; MXU selection is ~0.3 us)
-    dyEf = _dot(ds_eff, selE[:], (((1,), (0,))))   # [R, C]
-    dyOf = _dot(ds_eff, selO[:], (((1,), (0,))))
-    dyE = dyEf.reshape(Hp, J, C).transpose(0, 2, 1).reshape(Hp * C, J)
-    dyO = dyOf.reshape(Hp, J, C).transpose(0, 2, 1).reshape(Hp * C, J)
-    # adjoint inverse W: [re.T | im.T] packed, (Hp, C) flattened into M
-    AE = _dot(dyE, iwet[:], (((1,), (0,))))        # [Hp*C, 2m3]
-    AO = _dot(dyO, iwot[:], (((1,), (0,))))
+    Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
+    dyEf = dot(ds_eff, selE[:], (((1,), (0,))))   # [R, C]
+    dyOf = dot(ds_eff, selO[:], (((1,), (0,))))
+    pad = lambda a: jnp.pad(a.reshape(Hp, J, C),
+                            ((0, Hp8 - Hp), (0, J8 - J), (0, 0)))
+    dyE = pad(dyEf).transpose(0, 2, 1).reshape(Hp8 * C, J8)
+    dyO = pad(dyOf).transpose(0, 2, 1).reshape(Hp8 * C, J8)
+    # adjoint inverse W: [re.T | im.T] packed, (Hp8, C) flattened into M
+    AE = dot(dyE, iwet[:], (((1,), (0,))))        # [Hp8*C, 2m3]
+    AO = dot(dyO, iwot[:], (((1,), (0,))))
     dihRT = AE[:, :m3] + AO[:, :m3]
     dihIT = AE[:, m3:] + AO[:, m3:]
-    dihR = dihRT.reshape(Hp, C, m3).transpose(2, 1, 0).reshape(m3 * C, Hp)
-    dihI = dihIT.reshape(Hp, C, m3).transpose(2, 1, 0).reshape(m3 * C, Hp)
+    dihR = dihRT.reshape(Hp8, C, m3).transpose(2, 1, 0).reshape(m3 * C, Hp8)
+    dihI = dihIT.reshape(Hp8, C, m3).transpose(2, 1, 0).reshape(m3 * C, Hp8)
     # adjoint inverse H: [IhR.T | IhI.T] packed, (m3, C) flattened into M
-    A = _dot(dihR, ihpt[:], (((1,), (0,))))        # [m3*C, 4m2]
-    Bm = _dot(dihI, ihpt[:], (((1,), (0,))))
+    A = dot(dihR, ihpt[:], (((1,), (0,))))        # [m3*C, 4m2]
+    Bm = dot(dihI, ihpt[:], (((1,), (0,))))
     m2x2 = A.shape[1] // 2
     dgR3 = (A[:, :m2x2] + Bm[:, m2x2:]).reshape(m3, C, m2x2)
     dgI3 = (Bm[:, :m2x2] - A[:, m2x2:]).reshape(m3, C, m2x2)
@@ -281,7 +316,8 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
 def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
                  ds1_ref, ds2_ref, dy_ref,
                  ehpt, e67t, e67twt, selET, selOT,
-                 dx_ref, dwp2_ref, dvec_ref, *, Hp, J, C2, m3, act):
+                 dx_ref, dwp2_ref, dvec_ref, *, Hp, J, C2, m3, act, mxu):
+    dot = lambda a, b, c: _dot(a, b, c, mxu)
     i = pl.program_id(0)
     C = C2 // 2
     # --- spectral branch: dy → adjoint (H, W·tw) → dzW
@@ -291,25 +327,28 @@ def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
         C * m3, m2x2)
     dyI = dy[:, C:].reshape(m2x2, m3, C).transpose(2, 1, 0).reshape(
         C * m3, m2x2)
-    A = _dot(dyR, ehpt[:], (((1,), (0,))))         # [C*m3, 2Hp]
-    Bm = _dot(dyI, ehpt[:], (((1,), (0,))))
-    dXr = (A[:, :Hp] + Bm[:, Hp:]).reshape(C, m3, Hp).transpose(2, 0, 1)
-    dXi = (Bm[:, :Hp] - A[:, Hp:]).reshape(C, m3, Hp).transpose(2, 0, 1)
+    Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
+    A = dot(dyR, ehpt[:], (((1,), (0,))))         # [C*m3, 2Hp8]
+    Bm = dot(dyI, ehpt[:], (((1,), (0,))))
+    dXr = (A[:, :Hp8] + Bm[:, Hp8:]).reshape(C, m3, Hp8).transpose(2, 0, 1)
+    dXi = (Bm[:, :Hp8] - A[:, Hp8:]).reshape(C, m3, Hp8).transpose(2, 0, 1)
     # adjoint of the twiddle-folded W stage: even-parity channels see
     # E67.T, odd-parity see (E67·tw).T; lanes re-merged via selection GEMMs
     # (mirrors K2's inverse-W structure)
-    dXY = jnp.concatenate([dXr, dXi], axis=2).reshape(Hp * C, 2 * m3)
-    dzE = _dot(dXY, e67t[:], (((1,), (0,))))       # [Hp*C, J]
-    dzO = _dot(dXY, e67twt[:], (((1,), (0,))))
-    dzEt = dzE.reshape(Hp, C, J).transpose(0, 2, 1).reshape(Hp * J, C)
-    dzOt = dzO.reshape(Hp, C, J).transpose(0, 2, 1).reshape(Hp * J, C)
-    dzW = _dot(dzEt, selET[:], (((1,), (0,)))) + _dot(
+    dXY = jnp.concatenate([dXr, dXi], axis=2).reshape(Hp8 * C, 2 * m3)
+    dzE = dot(dXY, e67t[:], (((1,), (0,))))       # [Hp8*C, J8]
+    dzO = dot(dXY, e67twt[:], (((1,), (0,))))
+    dzEt = dzE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
+        Hp * J, C)
+    dzOt = dzO.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
+        Hp * J, C)
+    dzW = dot(dzEt, selET[:], (((1,), (0,)))) + dot(
         dzOt, selOT[:], (((1,), (0,))))            # [R, C2]
     # --- pointwise branch: ds_eff (BN-stat chain) → dzP
     sm = s_ref[0].astype(jnp.float32)
     dsm = ds_ref[0].astype(jnp.float32)
     ds_eff = dsm + ds1_ref[:] + 2.0 * sm * ds2_ref[:]
-    dzP = _dot(ds_eff, wp2t_ref[:], (((1,), (0,))))  # [R, 128]
+    dzP = dot(ds_eff, wp2t_ref[:], (((1,), (0,))))  # [R, 128]
     # --- one combined activation-chain pass for BOTH consumers of z
     dz = dzW + dzP
     xm = x_ref[0].astype(jnp.float32)
@@ -317,7 +356,7 @@ def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
     zm = _act(um, act)
     du = dz * _act_grad(um, act)
     dx_ref[0] = (du * a2_ref[:]).astype(dx_ref.dtype)
-    dwp2 = _dot(zm, ds_eff, (((0,), (0,))))        # [128, 128]
+    dwp2 = dot(zm, ds_eff, (((0,), (0,))))        # [128, 128]
     dvec = jnp.concatenate(
         [jnp.sum(ds_eff, axis=0, keepdims=True),       # dbp2
          jnp.sum(du * xm, axis=0, keepdims=True),      # da2
@@ -378,7 +417,9 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
     backward) for one static configuration."""
     x_dtype = jnp.dtype(x_dtype_str)
     R, Y = Hp * J, 2 * m2 * m3
-    kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act)
+    # bf16 MXU multiplies iff the layer IO is already bf16 (compute_dtype)
+    mxu = jnp.bfloat16 if x_dtype == jnp.bfloat16 else None
+    kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, mxu=mxu)
     cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)
     k1 = pl.pallas_call(
         functools.partial(_k1_kernel, **kw),

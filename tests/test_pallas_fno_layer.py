@@ -189,3 +189,22 @@ def test_fno3d_fused_grad_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat2[path]), rtol=5e-3, atol=5e-3,
             err_msg=str(path))
+
+
+def test_fused_layer_bf16_mxu_parity():
+    """bf16 layer IO selects bf16 MXU multiplies (f32 accumulation) inside
+    the kernels; outputs must track the f32 oracle to bf16-class tolerance."""
+    args = _inputs()
+    x16 = args[0].astype(jnp.bfloat16)
+    s, stats = fused_fno_layer(x16, *args[1:], dims=DIMS, act="tanh",
+                               interpret=True)
+    assert s.dtype == jnp.bfloat16
+    s_ref, stats_ref = reference_fused_fno_layer(*args, dims=DIMS, act="tanh")
+    scale = float(np.abs(np.asarray(s_ref)).max())
+    np.testing.assert_allclose(
+        np.asarray(s, np.float32), np.asarray(s_ref),
+        atol=0.05 * scale, rtol=0.05)
+    f = np.asarray(_fold(stats))
+    f_ref = np.asarray(_fold(stats_ref))
+    np.testing.assert_allclose(f, f_ref, rtol=0.05,
+                               atol=0.05 * np.abs(f_ref).max())
