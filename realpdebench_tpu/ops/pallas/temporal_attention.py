@@ -197,7 +197,14 @@ def temporal_attention_tokens(q, k, v, pos_bias, heads, *, interpret=False):
 
 
 def supported(S: int) -> bool:
-    """The kernel requires the site count to tile the 128 lanes and a TPU."""
+    """The kernel requires the site count to tile the 128 lanes and a TPU.
+
+    ``REALPDEBENCH_TEMPORAL_ATTN=off`` forces the einsum path (A/B perf
+    comparisons on hardware)."""
+    import os
+
+    if os.environ.get("REALPDEBENCH_TEMPORAL_ATTN") == "off":
+        return False
     if S % _R != 0:
         return False
     try:

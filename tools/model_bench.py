@@ -41,7 +41,9 @@ MODELS = {
         batch=32, accum=2),  # accum=1 exceeds 16G HBM (17.4G peak)
     "unet": dict(
         kw=dict(model_name="unet", dim_mults=[1, 2, 4],
-                compute_dtype="bfloat16", remat=True),
+                compute_dtype="bfloat16", remat=False),
+        # remat off: bf16 + the fused temporal-attention kernel fit bs12
+        # accum4 without block replay (0.351 -> 0.462 steps/s on chip)
         batch=12, accum=4),
     "cno": dict(
         kw=dict(model_name="cno", N_layers=3, N_res=1, N_res_neck=6,
