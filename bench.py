@@ -161,6 +161,7 @@ def main():
         "baseline_note": "A100 ref is a FLOP-model estimate (3.0 steps/s), not a measurement",
         "window_rates": [round(r, 3) for r in window_rates],
         "window_spread": round(spread, 3),
+        "n_stalled_windows": n_stalled,
         "rollout_frames_per_sec": round(frames_per_sec, 1),
         "n_chips": n_chips,
         "device": str(jax.devices()[0].platform),

@@ -21,10 +21,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHAPE = (20, 64, 128, 3)
-BATCH = 32
 
 
-def build_step():
+def build_step(model: str = "fno"):
+    """Build the train step for any model_bench family at reference scale."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,21 +35,23 @@ def build_step():
     from realpdebench_tpu.train.train_step import (
         TrainState, build_optimizer, make_train_step,
     )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from model_bench import MODELS
 
-    b = build_model(shapes=(SHAPE, SHAPE), model_name="fno", modes1=4,
-                    modes2=12, modes3=16, n_layers=4, width=64,
-                    compute_dtype="bfloat16", remat=False)
+    spec = MODELS[model]
+    batch = spec["batch"]
+    b = build_model(shapes=(SHAPE, SHAPE), **spec["kw"])
     v = b.init(jax.random.PRNGKey(0), np.zeros((1, *SHAPE), np.float32))
     p, ms = b.split_variables(v)
     cfg = Config(lr=1e-4, scheduler="cosine", num_update=100,
                  clip_grad_norm=0.0)
     state = TrainState.create(p, ms, build_optimizer(cfg))
     state = jax.device_put(state, jax.devices()[0])
-    step = make_train_step(b, IdentityNormalizer(), grad_accum=4)
+    step = make_train_step(b, IdentityNormalizer(), grad_accum=spec["accum"])
     k = jax.random.PRNGKey(0)
-    x = jax.jit(lambda k: jax.random.normal(k, (BATCH, *SHAPE),
+    x = jax.jit(lambda k: jax.random.normal(k, (batch, *SHAPE),
                                             jnp.float32))(k)
-    y = jax.jit(lambda k: jax.random.normal(k, (BATCH, *SHAPE),
+    y = jax.jit(lambda k: jax.random.normal(k, (batch, *SHAPE),
                                             jnp.float32))(jax.random.PRNGKey(1))
     return step, state, x, y, k
 
@@ -83,11 +85,13 @@ def main():
     ap.add_argument("--logdir", default="/tmp/jax_trace")
     ap.add_argument("--dump-hlo", default=None,
                     help="also write the compiled HLO text here")
+    ap.add_argument("--model", default="fno",
+                    help="model_bench family to profile (default fno)")
     a = ap.parse_args()
 
     import jax
 
-    step, state, x, y, k = build_step()
+    step, state, x, y, k = build_step(a.model)
     if a.dump_hlo:
         txt = jax.jit(step).lower(state, x, y, k).compile().as_text()
         with open(a.dump_hlo, "w") as f:
