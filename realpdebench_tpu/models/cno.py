@@ -46,7 +46,7 @@ class CNOActivation(nn.Module):
 
             bias = self.param(
                 "bias", nn.initializers.zeros, (x.shape[-1],)
-            )  # LReLu's learnable bias (filtered_networks.py:356)
+            ).astype(x.dtype)  # learnable bias (filtered_networks.py:356)
             return filtered_lrelu_3d(
                 x,
                 in_size=self.in_size,
@@ -79,15 +79,16 @@ class CNOBlock3d(nn.Module):
     half_width_mult: float = 0.8
     batch_norm: bool = True
     activation: str = "cno_lrelu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = (self.conv_kernel,) * 3
         x = nn.Conv(self.out_channels, kernel_size=k, padding="SAME",
-                    name="convolution")(x)
+                    name="convolution", dtype=self.dtype)(x)
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name="bn")(x)
+                             epsilon=1e-5, name="bn", dtype=self.dtype)(x)
         in_c, in_h = _filter_props(self.in_size, self.cutoff_den,
                                    self.half_width_mult)
         out_c, out_h = _filter_props(self.out_size, self.cutoff_den,
@@ -111,6 +112,7 @@ class LiftProjectBlock3d(nn.Module):
     half_width_mult: float = 0.8
     batch_norm: bool = True  # reference passes False for lift/project
     activation: str = "cno_lrelu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -121,14 +123,14 @@ class LiftProjectBlock3d(nn.Module):
             lrelu_upsampling=self.lrelu_upsampling,
             half_width_mult=self.half_width_mult,
             batch_norm=self.batch_norm, activation=self.activation,
-            name="inter",
+            dtype=self.dtype, name="inter",
         )(x, train=train)
         k = (self.conv_kernel,) * 3
         x = nn.Conv(self.out_channels, kernel_size=k, padding="SAME",
-                    name="convolution")(x)
+                    name="convolution", dtype=self.dtype)(x)
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name="bn")(x)
+                             epsilon=1e-5, name="bn", dtype=self.dtype)(x)
         return x
 
 
@@ -142,26 +144,27 @@ class ResidualBlock3d(nn.Module):
     half_width_mult: float = 0.8
     batch_norm: bool = True
     activation: str = "cno_lrelu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = (self.conv_kernel,) * 3
         out = nn.Conv(self.channels, kernel_size=k, padding="SAME",
-                      name="convolution1")(x)
+                      name="convolution1", dtype=self.dtype)(x)
         if self.batch_norm:
             out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, name="bn1")(out)
+                               epsilon=1e-5, name="bn1", dtype=self.dtype)(out)
         c, h = _filter_props(self.size, self.cutoff_den, self.half_width_mult)
         out = CNOActivation(
             self.activation, self.size, self.size, c, c, h, h,
             self.filter_size, self.lrelu_upsampling, name="act",
         )(out)
         out = nn.Conv(self.channels, kernel_size=k, padding="SAME",
-                      name="convolution2")(out)
+                      name="convolution2", dtype=self.dtype)(out)
         if self.batch_norm:
             out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, name="bn2")(out)
-        return x + out
+                               epsilon=1e-5, name="bn2", dtype=self.dtype)(out)
+        return x + out.astype(x.dtype)
 
 
 class CNO3d(nn.Module):
@@ -188,6 +191,8 @@ class CNO3d(nn.Module):
     remat: bool = False  # rematerialize blocks: the filtered-lrelu path
     # holds 2x-upsampled intermediates; remat bounds activation memory to
     # ~one block so reference batch sizes fit a 16 GB chip
+    compute_dtype: jnp.dtype = jnp.float32  # conv/BN math dtype; params and
+    # running stats stay f32 (bf16 puts the 3x3x3 convs on the MXU)
 
     def _features(self):
         lift_dim = self.channel_multiplier // 2
@@ -228,6 +233,7 @@ class CNO3d(nn.Module):
             filter_size=self.filter_size,
             lrelu_upsampling=self.lrelu_upsampling,
             half_width_mult=self.half_width_mult, activation=self.activation,
+            dtype=self.compute_dtype,
         )
 
         x = LP(

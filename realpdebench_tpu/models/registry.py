@@ -199,6 +199,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             shape_in=shape_in,
             shape_out=shape_out,
             remat=bool(kwargs.get("remat", True)),
+            compute_dtype=compute_dtype,
         )
         return ModelBundle(
             name="cno", module=module, mutable=("batch_stats",),
