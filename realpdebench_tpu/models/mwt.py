@@ -72,7 +72,6 @@ class SparseKernelFT3d(nn.Module):
              for kk in jax.random.split(k_, 4)]))
 
         xf = x.reshape(B, Nx, Ny, T, ck2).astype(jnp.float32)
-        x_ft = jnp.fft.rfftn(xf, axes=(1, 2, 3))  # [B, Nx, Ny, T//2+1, ck2]
 
         l1 = min(modes, Nx // 2 + 1)
         l2 = min(modes, Ny // 2 + 1)
@@ -80,6 +79,25 @@ class SparseKernelFT3d(nn.Module):
 
         wrc = wr[:, :, :, :l1, :l2, :l3]
         wic = wi[:, :, :, :l1, :l2, :l3]
+
+        if 2 * l1 <= Nx and 2 * l2 <= Ny:
+            # No ± corner overlap → the shared truncated-DFT spectral conv is
+            # exact here and skips the full-grid rfftn/irfftn round-trip (the
+            # top levels of the wavelet pyramid dominate the cost; alpha=5
+            # keeps only 5³ modes of a 64×128×20 grid). MWT's transform axes
+            # (Nx, Ny, T=rfft) map onto spectral.py's (T, H, W=rfft) and the
+            # corner order matches (models.py:559-571 vs fno.py:53-60).
+            from realpdebench_tpu.ops.spectral import truncated_spectral_conv3d
+
+            out = truncated_spectral_conv3d(xf, wrc, wic)
+            out = nn.relu(out)
+            out = nn.Dense(ck2, name="Lo")(out)
+            return out.reshape(B, Nx, Ny, T, c, ich)
+
+        # Deep (tiny) levels where 2·l exceeds the axis: corner writes
+        # overlap, and the reference's overwrite semantics (later corner
+        # wins) require the explicit spectrum assembly below.
+        x_ft = jnp.fft.rfftn(xf, axes=(1, 2, 3))  # [B, Nx, Ny, T//2+1, ck2]
 
         corners = jnp.stack(
             [
@@ -181,18 +199,21 @@ class MWTCZ3d(nn.Module):
                 [jnp.broadcast_to(x, Ud[i].shape[:-1] + (ich,)), Ud[i]],
                 axis=-1,
             )
-            # even/odd reconstruction
+            # even/odd reconstruction; interleave via stack+reshape
+            # (out[2i+p, 2j+q] = x_pq[i, j]) instead of 4 strided scatters —
+            # XLA lowers this to transposes, not scatter loops
             x_ee = x @ rc_ee
             x_eo = x @ rc_eo
             x_oe = x @ rc_oe
             x_oo = x @ rc_oo
             Bz, nx, ny = x.shape[0], x.shape[1], x.shape[2]
-            out = jnp.zeros((Bz, nx * 2, ny * 2, T, c, self.k**2), x.dtype)
-            out = out.at[:, ::2, ::2].set(x_ee)
-            out = out.at[:, ::2, 1::2].set(x_eo)
-            out = out.at[:, 1::2, ::2].set(x_oe)
-            out = out.at[:, 1::2, 1::2].set(x_oo)
-            x = out
+            tail = x_ee.shape[3:]
+            even = jnp.stack([x_ee, x_eo], axis=3).reshape(
+                Bz, nx, ny * 2, *tail)
+            odd = jnp.stack([x_oe, x_oo], axis=3).reshape(
+                Bz, nx, ny * 2, *tail)
+            x = jnp.stack([even, odd], axis=2).reshape(
+                Bz, nx * 2, ny * 2, *tail)
         return x
 
 
