@@ -56,6 +56,7 @@ class SparseKernelFT3d(nn.Module):
     k: int
     alpha: int
     c: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -89,9 +90,10 @@ class SparseKernelFT3d(nn.Module):
             # corner order matches (models.py:559-571 vs fno.py:53-60).
             from realpdebench_tpu.ops.spectral import truncated_spectral_conv3d
 
-            out = truncated_spectral_conv3d(xf, wrc, wic)
+            out = truncated_spectral_conv3d(
+                xf, wrc, wic, compute_dtype=self.dtype)
             out = nn.relu(out)
-            out = nn.Dense(ck2, name="Lo")(out)
+            out = nn.Dense(ck2, name="Lo", dtype=self.dtype)(out)
             return out.reshape(B, Nx, Ny, T, c, ich)
 
         # Deep (tiny) levels where 2·l exceeds the axis: corner writes
@@ -142,15 +144,17 @@ class SparseKernel3d(nn.Module):
 
     k: int
     c: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, Nx, Ny, T, c, ich = x.shape
         ck2 = c * ich
         h = x.reshape(B, Nx, Ny, T, ck2)
-        h = nn.Conv(ck2, kernel_size=(3, 3, 3), padding="SAME", name="conv")(h)
+        h = nn.Conv(ck2, kernel_size=(3, 3, 3), padding="SAME", name="conv",
+                    dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Dense(ck2, name="Lo")(h)
+        h = nn.Dense(ck2, name="Lo", dtype=self.dtype)(h)
         return h.reshape(B, Nx, Ny, T, c, ich)
 
 
@@ -161,18 +165,20 @@ class MWTCZ3d(nn.Module):
     c: int = 1
     shape_multiplier: int = 1
     base: str = "legendre"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, Nx, Ny, T, c, ich = x.shape
         ns = math.floor(np.log2(Nx))
         ec_s, ec_d, rc_ee, rc_eo, rc_oe, rc_oo = (
-            jnp.asarray(m) for m in cz_matrices(self.base, self.k)
+            jnp.asarray(m, x.dtype) for m in cz_matrices(self.base, self.k)
         )
 
-        A = SparseKernelFT3d(self.k, self.alpha, self.c, name="A")
-        Bm = SparseKernel3d(self.k, self.c, name="B")
-        Cm = SparseKernel3d(self.k, self.c, name="C")
+        A = SparseKernelFT3d(self.k, self.alpha, self.c, dtype=self.dtype,
+                             name="A")
+        Bm = SparseKernel3d(self.k, self.c, dtype=self.dtype, name="B")
+        Cm = SparseKernel3d(self.k, self.c, dtype=self.dtype, name="C")
 
         def wavelet_transform(z):
             za = jnp.concatenate(
@@ -189,7 +195,7 @@ class MWTCZ3d(nn.Module):
 
         # coarsest-scale transform; rectangular leftovers fold into channels
         coarse = x.reshape(B, 2**self.L, 2**self.L, T, -1)
-        x = nn.Dense(c * ich, name="T0")(coarse).reshape(
+        x = nn.Dense(c * ich, name="T0", dtype=self.dtype)(coarse).reshape(
             B, 2**self.L, 2**self.L, T, c, ich
         )
 
@@ -228,10 +234,12 @@ class MWT3d(nn.Module):
     nCZ: int = 3
     L: int = 0
     base: str = "legendre"
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # [B, T, H, W, C] → grid-major [B, H, W, T, C] (models.py:757-760)
+        dt = self.compute_dtype
         x = jnp.transpose(x, (0, 2, 3, 1, 4))
         B, Nx, Ny, T, _ = x.shape
         t_in, t_out = self.shape_in[0], self.shape_out[0]
@@ -239,20 +247,21 @@ class MWT3d(nn.Module):
         mult = t_out // t_in
         shape_multiplier = self.shape_in[2] // self.shape_in[1]
 
-        x = nn.Dense(self.c * self.k**2, name="Lk")(x)
+        x = nn.Dense(self.c * self.k**2, name="Lk", dtype=dt)(x)
         x = x.reshape(B, Nx, Ny, T, self.c, self.k**2)
         for i in range(self.nCZ):
             x = MWTCZ3d(
                 self.k, self.alpha, self.L, self.c, shape_multiplier,
-                self.base, name=f"cz_{i}",
+                self.base, dtype=dt, name=f"cz_{i}",
             )(x)
             if i < self.nCZ - 1:
                 x = nn.relu(x)
 
         x = x.reshape(B, Nx, Ny, T, -1)
-        x = nn.Dense(128, name="Lc0")(x)
+        x = nn.Dense(128, name="Lc0", dtype=dt)(x)
         x = nn.relu(x)
-        x = nn.Dense(c_out * mult, name="Lc1")(x)
+        x = nn.Dense(c_out * mult, name="Lc1", dtype=dt)(x)
+        x = x.astype(jnp.float32)
 
         # (B, Nx, Ny, T, C_out·mult) → (B, T_out, H, W, C_out)
         x = x.reshape(B, Nx, Ny, T, c_out, mult)

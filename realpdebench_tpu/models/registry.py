@@ -158,6 +158,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             och=kwargs.get("och", shape_out[-1]),
             shape_in=shape_in,
             shape_out=shape_out,
+            compute_dtype=compute_dtype,
         )
         return ModelBundle(
             name="mwt", module=module, mutable=("batch_stats",),
