@@ -102,6 +102,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             unified_pos=bool(kwargs.get("unified_pos", False)),
             shape_in=shape_in,
             shape_out=shape_out,
+            compute_dtype=compute_dtype,
         )
         return ModelBundle(
             name="transolver", module=module, mutable=(), needs_train_flag=True,

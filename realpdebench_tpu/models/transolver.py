@@ -36,14 +36,18 @@ class TransolverMLP(nn.Module):
     n_output: int
     n_layers: int = 0
     res: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = act_gelu(nn.Dense(self.n_hidden, kernel_init=trunc_init)(x))
+        x = act_gelu(nn.Dense(self.n_hidden, kernel_init=trunc_init,
+                              dtype=self.dtype)(x))
         for _ in range(self.n_layers):
-            h = act_gelu(nn.Dense(self.n_hidden, kernel_init=trunc_init)(x))
+            h = act_gelu(nn.Dense(self.n_hidden, kernel_init=trunc_init,
+                                  dtype=self.dtype)(x))
             x = h + x if self.res else h
-        return nn.Dense(self.n_output, kernel_init=trunc_init)(x)
+        return nn.Dense(self.n_output, kernel_init=trunc_init,
+                        dtype=self.dtype)(x)
 
 
 class PhysicsAttention3d(nn.Module):
@@ -56,6 +60,7 @@ class PhysicsAttention3d(nn.Module):
     D: int
     dropout: float = 0.0
     kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -65,9 +70,9 @@ class PhysicsAttention3d(nn.Module):
 
         k = (self.kernel,) * 3
         fx_mid = nn.Conv(inner, kernel_size=k, padding="SAME",
-                         name="in_project_fx")(xg)
+                         name="in_project_fx", dtype=self.dtype)(xg)
         x_mid = nn.Conv(inner, kernel_size=k, padding="SAME",
-                        name="in_project_x")(xg)
+                        name="in_project_x", dtype=self.dtype)(xg)
         # [B, N, heads, dim_head] → [B, heads, N, dim_head]
         fx_mid = fx_mid.reshape(B, N, self.heads, self.dim_head).transpose(
             0, 2, 1, 3
@@ -81,28 +86,29 @@ class PhysicsAttention3d(nn.Module):
             lambda key: 0.5 * jnp.ones((1, self.heads, 1, 1), jnp.float32),
         )
         logits = nn.Dense(self.slice_num, kernel_init=trunc_init,
-                          name="in_project_slice")(x_mid)
+                          name="in_project_slice", dtype=self.dtype)(x_mid)
         slice_weights = nn.softmax(
             logits / jnp.clip(temperature, 0.1, 5.0), axis=-1
-        )  # [B, h, N, G]
+        ).astype(self.dtype)  # [B, h, N, G]; softmax itself in f32
         slice_norm = slice_weights.sum(axis=2)  # [B, h, G]
         slice_token = jnp.einsum("bhnc,bhng->bhgc", fx_mid, slice_weights)
         slice_token = slice_token / (slice_norm + 1e-5)[..., None]
 
         q = nn.Dense(self.dim_head, use_bias=False, kernel_init=trunc_init,
-                     name="to_q")(slice_token)
+                     name="to_q", dtype=self.dtype)(slice_token)
         kk = nn.Dense(self.dim_head, use_bias=False, kernel_init=trunc_init,
-                      name="to_k")(slice_token)
+                      name="to_k", dtype=self.dtype)(slice_token)
         v = nn.Dense(self.dim_head, use_bias=False, kernel_init=trunc_init,
-                     name="to_v")(slice_token)
+                     name="to_v", dtype=self.dtype)(slice_token)
         dots = jnp.einsum("bhgd,bhkd->bhgk", q, kk) * (self.dim_head ** -0.5)
-        attn = nn.softmax(dots, axis=-1)
+        attn = nn.softmax(dots.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         out_token = jnp.einsum("bhgk,bhkd->bhgd", attn, v)
 
         out_x = jnp.einsum("bhgc,bhng->bhnc", out_token, slice_weights)
         out_x = out_x.transpose(0, 2, 1, 3).reshape(B, N, inner)
-        out = nn.Dense(self.dim, kernel_init=trunc_init, name="to_out")(out_x)
+        out = nn.Dense(self.dim, kernel_init=trunc_init, name="to_out",
+                       dtype=self.dtype)(out_x)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
 
 
@@ -117,6 +123,7 @@ class TransolverBlock(nn.Module):
     D: int
     last_layer: bool = False
     out_dim: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, fx, train: bool = False):
@@ -124,15 +131,18 @@ class TransolverBlock(nn.Module):
             self.hidden_dim, heads=self.num_heads,
             dim_head=self.hidden_dim // self.num_heads,
             slice_num=self.slice_num, H=self.H, W=self.W, D=self.D,
-            dropout=self.dropout, name="attn",
-        )(nn.LayerNorm(epsilon=1e-5, name="ln_1")(fx), train=train) + fx
+            dropout=self.dropout, dtype=self.dtype, name="attn",
+        )(nn.LayerNorm(epsilon=1e-5, name="ln_1", dtype=self.dtype)(fx),
+          train=train) + fx
         fx = TransolverMLP(
             self.hidden_dim * self.mlp_ratio, self.hidden_dim,
-            n_layers=0, res=False, name="mlp",
-        )(nn.LayerNorm(epsilon=1e-5, name="ln_2")(fx)) + fx
+            n_layers=0, res=False, dtype=self.dtype, name="mlp",
+        )(nn.LayerNorm(epsilon=1e-5, name="ln_2", dtype=self.dtype)(fx)) + fx
         if self.last_layer:
             return nn.Dense(self.out_dim, kernel_init=trunc_init,
-                            name="mlp2")(nn.LayerNorm(epsilon=1e-5, name="ln_3")(fx))
+                            name="mlp2")(
+                nn.LayerNorm(epsilon=1e-5, name="ln_3",
+                             dtype=self.dtype)(fx)).astype(jnp.float32)
         return fx
 
 
@@ -153,6 +163,7 @@ class Transolver3d(nn.Module):
     slice_num: int = 32
     dropout: float = 0.0
     unified_pos: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -168,7 +179,7 @@ class Transolver3d(nn.Module):
 
         fx = TransolverMLP(
             self.n_hidden * 2, self.n_hidden, n_layers=0, res=False,
-            name="preprocess",
+            dtype=self.compute_dtype, name="preprocess",
         )(x)
         placeholder = self.param(
             "placeholder",
@@ -178,7 +189,7 @@ class Transolver3d(nn.Module):
                                                    jnp.float32)
             ),
         )
-        fx = fx + placeholder[None, None, :]
+        fx = fx + placeholder[None, None, :].astype(fx.dtype)
 
         for i in range(self.n_layers):
             fx = TransolverBlock(
@@ -186,7 +197,7 @@ class Transolver3d(nn.Module):
                 dropout=self.dropout, mlp_ratio=self.mlp_ratio,
                 slice_num=self.slice_num, H=self.H, W=self.W, D=self.D,
                 last_layer=(i == self.n_layers - 1), out_dim=self.out_dim,
-                name=f"block_{i}",
+                dtype=self.compute_dtype, name=f"block_{i}",
             )(fx, train=train)
 
         return fx.reshape(*in_shape[:-1], self.out_dim)

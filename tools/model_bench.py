@@ -95,6 +95,12 @@ def run_one(name: str, n_steps: int = 8) -> dict:
 
     spec = MODELS[name]
     bs, accum = spec["batch"], spec["accum"]
+    # one-off experiment overrides (committed table always uses the specs)
+    if os.environ.get("REALPDEBENCH_BENCH_ACCUM"):
+        accum = int(os.environ["REALPDEBENCH_BENCH_ACCUM"])
+    if os.environ.get("REALPDEBENCH_BENCH_KW"):
+        spec = dict(spec, kw={**spec["kw"],
+                              **json.loads(os.environ["REALPDEBENCH_BENCH_KW"])})
     key = jax.random.PRNGKey(0)
     kx, ky, key = jax.random.split(key, 3)
     x = jax.jit(lambda k: 0.3 * jax.random.normal(
