@@ -73,6 +73,7 @@ class GalerkinAttention(nn.Module):
     score_dropout: float = 0.5  # reference F.dropout default (train-only here)
     reference_eval_dropout: bool = False  # compat: stochastic dropout at eval
     seq_mesh: Optional[Mesh] = None  # sequence parallelism: tokens over mp
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -86,7 +87,8 @@ class GalerkinAttention(nn.Module):
 
         def proj(name):
             h = nn.Dense(self.d_model, kernel_init=init,
-                         bias_init=nn.initializers.zeros, name=name)(x)
+                         bias_init=nn.initializers.zeros, name=name,
+                         dtype=self.dtype)(x)
             h = h.reshape(B, N, self.n_head, d_k).transpose(0, 2, 1, 3)
             return token_constraint(h, self.seq_mesh, token_axis=2)
 
@@ -100,7 +102,9 @@ class GalerkinAttention(nn.Module):
         # fused LN(K)ᵀLN(V)/N — Pallas on TPU, jnp elsewhere
         from realpdebench_tpu.ops.pallas.galerkin import galerkin_scores
 
-        scores = galerkin_scores(k, v, ks, kb, vs, vb, self.norm_eps)
+        scores = galerkin_scores(k, v, ks.astype(k.dtype), kb.astype(k.dtype),
+                                 vs.astype(k.dtype), vb.astype(k.dtype),
+                                 self.norm_eps)
         deterministic = not (train or self.reference_eval_dropout)
         scores = nn.Dropout(self.score_dropout,
                             deterministic=deterministic)(scores)
@@ -123,6 +127,7 @@ class GKTEncoderLayer(nn.Module):
     diagonal_weight: float = 1e-2
     reference_eval_dropout: bool = False
     seq_mesh: Optional[Mesh] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -132,20 +137,22 @@ class GKTEncoderLayer(nn.Module):
             self.d_model, self.n_head, norm_eps=self.norm_eps,
             xavier_init=self.xavier_init, diagonal_weight=self.diagonal_weight,
             reference_eval_dropout=self.reference_eval_dropout,
-            seq_mesh=self.seq_mesh,
+            seq_mesh=self.seq_mesh, dtype=self.dtype,
             name="attn",
         )(x, train=train)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(att)
         if self.layer_norm:
-            x = nn.LayerNorm(epsilon=self.norm_eps, name="layer_norm1")(x)
-        h = nn.Dense(self.dim_feedforward, name="ff1")(x)
+            x = nn.LayerNorm(epsilon=self.norm_eps, name="layer_norm1",
+                             dtype=self.dtype)(x)
+        h = nn.Dense(self.dim_feedforward, name="ff1", dtype=self.dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.ffn_dropout, deterministic=not train)(h)
-        h = nn.Dense(self.d_model, name="ff2")(h)
+        h = nn.Dense(self.d_model, name="ff2", dtype=self.dtype)(h)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
         x = token_constraint(x, self.seq_mesh)
         if self.layer_norm:
-            x = nn.LayerNorm(epsilon=self.norm_eps, name="layer_norm2")(x)
+            x = nn.LayerNorm(epsilon=self.norm_eps, name="layer_norm2",
+                             dtype=self.dtype)(x)
         return x
 
 
@@ -159,6 +166,7 @@ class GKTSpectralConv3d(nn.Module):
     modes_t: int
     modes_x: int
     modes_y: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -175,7 +183,8 @@ class GKTSpectralConv3d(nn.Module):
             lambda k: scale * jnp.asarray(
                 nn.initializers.uniform(scale=1.0)(k, shape, jnp.float32)),
         )
-        return truncated_spectral_conv3d(x, w_real, w_imag)
+        return truncated_spectral_conv3d(x, w_real, w_imag,
+                                         compute_dtype=self.dtype)
 
 
 class SpectralRegressor(nn.Module):
@@ -191,30 +200,34 @@ class SpectralRegressor(nn.Module):
     spacial_fc: bool = True
     padding: int = 6
     dim_feedforward: int = 128
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, grid, train: bool = False):
         # x: [B, T, H, W, C]; grid: [B, T, H, W, 3]
         if self.spacial_fc:
             x = jnp.concatenate([x, grid], axis=-1)
-            x = nn.Dense(self.freq_dim, name="fc")(x)
+            x = nn.Dense(self.freq_dim, name="fc", dtype=self.dtype)(x)
         p = self.padding
         x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, p), (0, 0)))
         for i in range(self.num_layers):
             x1 = GKTSpectralConv3d(
                 x.shape[-1], self.freq_dim, self.modes_t, self.modes_x,
-                self.modes_y, name=f"spectral_{i}",
+                self.modes_y, dtype=self.dtype, name=f"spectral_{i}",
             )(x)
-            x2 = nn.Dense(self.freq_dim, name=f"pointwise_{i}")(x)
-            x = x1 + x2
+            x2 = nn.Dense(self.freq_dim, name=f"pointwise_{i}",
+                          dtype=self.dtype)(x)
+            x = x1.astype(x2.dtype) + x2
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"bn_{i}")(x)
+                             epsilon=1e-5, name=f"bn_{i}",
+                             dtype=self.dtype)(x)
             if i < self.num_layers - 1:
                 x = act_gelu(x)
         x = x[:, :-p, :-p, :-p, :]
-        x = nn.Dense(self.dim_feedforward, name="regressor1")(x)
+        x = nn.Dense(self.dim_feedforward, name="regressor1",
+                     dtype=self.dtype)(x)
         x = nn.silu(x)
-        return nn.Dense(self.out_dim, name="regressor2")(x)
+        return nn.Dense(self.out_dim, name="regressor2", dtype=self.dtype)(x)
 
 
 class GalerkinTransformer3d(nn.Module):
@@ -238,6 +251,7 @@ class GalerkinTransformer3d(nn.Module):
     diagonal_weight: float = 1e-2
     reference_eval_dropout: bool = False
     seq_mesh: Optional[Mesh] = None  # sequence parallelism: tokens over mp
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -248,7 +262,8 @@ class GalerkinTransformer3d(nn.Module):
         c_out = self.shape_out[-1]
         mult = t_out // t_in
 
-        h = nn.Dense(self.n_hidden, name="downscaler")(x)
+        h = nn.Dense(self.n_hidden, name="downscaler",
+                     dtype=self.compute_dtype)(x)
         h = token_constraint(h.reshape(B, -1, self.n_hidden), self.seq_mesh)
         for i in range(self.num_encoder_layers):
             h = GKTEncoderLayer(
@@ -258,7 +273,7 @@ class GalerkinTransformer3d(nn.Module):
                 xavier_init=self.xavier_init,
                 diagonal_weight=self.diagonal_weight,
                 reference_eval_dropout=self.reference_eval_dropout,
-                seq_mesh=self.seq_mesh,
+                seq_mesh=self.seq_mesh, dtype=self.compute_dtype,
                 name=f"encoder_{i}",
             )(h, train=train)
         h = h.reshape(B, T, H, W, self.n_hidden)
@@ -270,9 +285,11 @@ class GalerkinTransformer3d(nn.Module):
         out = SpectralRegressor(
             self.n_hidden, self.freq_dim, c_out * mult,
             modes_x=self.modes1, modes_y=self.modes2, modes_t=self.modes3,
-            num_layers=self.spectral_layers, name="regressor",
+            num_layers=self.spectral_layers, dtype=self.compute_dtype,
+            name="regressor",
         )(h, grid, train=train)
 
+        out = out.astype(jnp.float32)
         out = out.reshape(B, T, H, W, c_out, mult)
         out = jnp.transpose(out, (0, 1, 5, 2, 3, 4))
         return out.reshape(B, t_out, H, W, c_out)

@@ -139,6 +139,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             # by the caller (train/loop.py) when `seq_shard: true`; not a
             # YAML scalar
             seq_mesh=kwargs.get("seq_mesh"),
+            compute_dtype=compute_dtype,
         )
         return ModelBundle(
             name="galerkin_transformer", module=module,
