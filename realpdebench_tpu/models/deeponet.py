@@ -42,14 +42,16 @@ def adaptive_avg_pool3d(x, out_sizes):
 class BranchNet(nn.Module):
     p: int
     dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: [B, T, H, W, C]
         for feats in (32, 64, 128):
-            x = nn.Conv(feats, kernel_size=(3, 3, 3), padding="SAME")(x)
+            x = nn.Conv(feats, kernel_size=(3, 3, 3), padding="SAME",
+                        dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5)(x)
+                             epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.relu(x)
             # Clamp the pool window to the axis size: identical to a plain
             # 2×2×2 pool at reference shapes (all dims ≥ 2 here), but keeps
@@ -57,26 +59,28 @@ class BranchNet(nn.Module):
             # would reduce a size-1 axis to size 0 and error.
             ws = tuple(min(2, s) for s in x.shape[1:4])
             x = nn.max_pool(x, window_shape=ws, strides=ws)
-        x = nn.Conv(256, kernel_size=(3, 3, 3), padding="SAME")(x)
+        x = nn.Conv(256, kernel_size=(3, 3, 3), padding="SAME",
+                    dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = adaptive_avg_pool3d(x, (1, 4, 4))
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(512)(x)
+        x = nn.Dense(512, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        return nn.Dense(self.p)(x)
+        return nn.Dense(self.p, dtype=self.dtype)(x)
 
 
 class TrunkNet(nn.Module):
     p: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, coords):
-        x = nn.relu(nn.Dense(64)(coords))
-        x = nn.relu(nn.Dense(128)(x))
-        return nn.Dense(self.p)(x)
+        x = nn.relu(nn.Dense(64, dtype=self.dtype)(coords))
+        x = nn.relu(nn.Dense(128, dtype=self.dtype)(x))
+        return nn.Dense(self.p, dtype=self.dtype)(x)
 
 
 class DeepONet(nn.Module):
@@ -84,24 +88,28 @@ class DeepONet(nn.Module):
     shape_out: Sequence[int]
     p: int
     dropout_rate: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, T_in, H, W, C = x.shape
         T_out = self.shape_out[0]
 
-        b = BranchNet(self.p, self.dropout_rate, name="branch")(x, train=train)
+        b = BranchNet(self.p, self.dropout_rate, dtype=self.compute_dtype,
+                      name="branch")(x, train=train)
 
         gt, gy, gx = grid_features((T_out, H, W))
         coords = jnp.concatenate([gt, gy, gx], axis=-1).reshape(-1, 3)
-        t = TrunkNet(self.p, name="trunk")(coords)  # [N, p]
+        t = TrunkNet(self.p, dtype=self.compute_dtype,
+                     name="trunk")(coords)  # [N, p]
 
         feat = b[:, None, :] * t[None, :, :]  # [B, N, p]
-        out = nn.Dense(512, name="out_fc1")(feat)
+        out = nn.Dense(512, name="out_fc1", dtype=self.compute_dtype)(feat)
         out = nn.relu(out)
         out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
-        out = nn.Dense(128, name="out_fc2")(out)
+        out = nn.Dense(128, name="out_fc2", dtype=self.compute_dtype)(out)
         out = nn.relu(out)
         out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
-        out = nn.Dense(self.shape_out[-1], name="out_fc3")(out)
-        return out.reshape(B, T_out, H, W, -1)
+        out = nn.Dense(self.shape_out[-1], name="out_fc3",
+                       dtype=self.compute_dtype)(out)
+        return out.astype(jnp.float32).reshape(B, T_out, H, W, -1)

@@ -62,6 +62,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             shape_out=shape_out,
             p=kwargs["p"],
             dropout_rate=kwargs.get("dropout_rate", 0.0),
+            compute_dtype=compute_dtype,
         )
         return ModelBundle(
             name="deeponet", module=module, mutable=("batch_stats",),
