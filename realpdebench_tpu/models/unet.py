@@ -99,9 +99,12 @@ class ChannelLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
-        var = jnp.var(x, axis=-1, keepdims=True)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        return (x - mean) / jnp.sqrt(var + self.eps) * gamma
+        # stats in f32; output back in input dtype so bf16 flow stays bf16
+        xf = x.astype(jnp.float32)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        out = (xf - mean) / jnp.sqrt(var + self.eps) * gamma
+        return out.astype(x.dtype)
 
 
 class TemporalAttention(nn.Module):
@@ -250,18 +253,19 @@ class SpatialLinearAttention(nn.Module):
             x.reshape(B * T, H, W, C))
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(z):  # [BT, H, W, hidden] → [BT, h, d, N]
+        def heads(z):  # [BT, H, W, hidden] → [BT, h, N, d]; d stays minor
+            # (lane axis) so no d-major relayout is needed around the GEMMs
             return z.reshape(B * T, H * W, self.heads, self.dim_head).transpose(
-                0, 2, 3, 1
+                0, 2, 1, 3
             )
 
         q, k, v = heads(q), heads(k), heads(v)
-        q = jax.nn.softmax(q, axis=-2)  # over d (reference q.softmax(dim=-2))
-        k = jax.nn.softmax(k, axis=-1)  # over n
+        q = jax.nn.softmax(q, axis=-1)  # over d (reference q.softmax(dim=-2))
+        k = jax.nn.softmax(k, axis=-2)  # over n
         q = q * (self.dim_head ** -0.5)
-        context = jnp.einsum("bhdn,bhen->bhde", k, v)
-        out = jnp.einsum("bhde,bhdn->bhen", context, q)  # [BT, h, e, N]
-        out = out.transpose(0, 3, 1, 2).reshape(B * T, H, W, hidden)
+        context = jnp.einsum("bhnd,bhne->bhde", k, v)
+        out = jnp.einsum("bhde,bhnd->bhne", context, q)  # [BT, h, N, e]
+        out = out.transpose(0, 2, 1, 3).reshape(B * T, H, W, hidden)
         out = nn.Conv(C, kernel_size=(1, 1), name="to_out",
                       dtype=self.dtype)(out)
         return out.reshape(B, T, H, W, C)
@@ -276,7 +280,10 @@ class Block(nn.Module):
     def __call__(self, x, scale_shift=None):
         x = nn.Conv(self.dim_out, kernel_size=(3, 3, 3), padding="SAME",
                     name="proj", dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
+        # dtype keeps the normalized activations in compute dtype — without
+        # it the f32 gamma/beta promote every full-res tensor to f32
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm",
+                         dtype=self.dtype)(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1) + shift
