@@ -367,7 +367,9 @@ class DPOT(nn.Module):
         if self.model_type == "dpot3d":
             from realpdebench_tpu.models.dpot3d import DPOTNet3D
 
-            self.dpot_model = DPOTNet3D(**common)
+            self.dpot_model = DPOTNet3D(
+                **common, compute_dtype=self.compute_dtype
+            )
         elif self.model_type == "dpot":
             self.dpot_model = DPOTNet(
                 **common, compute_dtype=self.compute_dtype

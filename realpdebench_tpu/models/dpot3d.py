@@ -88,22 +88,27 @@ class DPOT3DBlock(nn.Module):
     mlp_ratio: float = 1.0
     act: str = "gelu"
     double_skip: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm1",
+                         dtype=self.dtype)(x)
         h = AFNO3D(self.width, self.n_blocks, self.modes, self.temporal_modes,
                    act=self.act, name="filter")(h)
         if self.double_skip:
             h = h + residual
             residual = h
-        h2 = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm2")(h)
+        h2 = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm2",
+                          dtype=self.dtype)(h)
         hid = int(self.width * self.mlp_ratio)
-        h2 = nn.Conv(hid, kernel_size=(1, 1, 1), name="mlp1")(h2)
+        h2 = nn.Conv(hid, kernel_size=(1, 1, 1), name="mlp1",
+                     dtype=self.dtype)(h2)
         h2 = ACT[self.act](h2)
-        h2 = nn.Conv(self.width, kernel_size=(1, 1, 1), name="mlp2")(h2)
-        return h2 + residual
+        h2 = nn.Conv(self.width, kernel_size=(1, 1, 1), name="mlp2",
+                     dtype=self.dtype)(h2)
+        return (h2 + residual.astype(h2.dtype)).astype(jnp.float32)
 
 
 class DPOTNet3D(nn.Module):
@@ -124,6 +129,7 @@ class DPOTNet3D(nn.Module):
     normalize: bool = False
     act: str = "gelu"
     time_agg: str = "exp_mlp"
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -150,10 +156,12 @@ class DPOTNet3D(nn.Module):
         p = self.patch_size
         hidden = self.out_channels * p + 4
         h = nn.Conv(hidden, kernel_size=(p, p, p), strides=(p, p, p),
-                    padding="VALID", name="patch_proj1")(h)
+                    padding="VALID", name="patch_proj1",
+                    dtype=self.compute_dtype)(h)
         h = act(h)
         h = nn.Conv(self.embed_dim, kernel_size=(1, 1, 1),
-                    name="patch_proj2")(h)
+                    name="patch_proj2", dtype=self.compute_dtype)(h)
+        h = h.astype(jnp.float32)
 
         hx, wy, lz = h.shape[1], h.shape[2], h.shape[3]
         pos = self.param(
@@ -191,7 +199,8 @@ class DPOTNet3D(nn.Module):
         for i in range(self.depth):
             h = DPOT3DBlock(
                 self.embed_dim, self.n_blocks, self.modes, self.temporal_modes,
-                self.mlp_ratio, self.act, name=f"block_{i}",
+                self.mlp_ratio, self.act, dtype=self.compute_dtype,
+                name=f"block_{i}",
             )(h)
 
         cls_tok = h.mean(axis=(1, 2, 3))
@@ -204,13 +213,16 @@ class DPOTNet3D(nn.Module):
         out = nn.ConvTranspose(
             self.out_layer_dim, kernel_size=(p, p, p), strides=(p, p, p),
             padding="VALID", transpose_kernel=True, name="out_deconv",
+            dtype=self.compute_dtype,
         )(h)
         out = act(out)
         out = nn.Conv(self.out_layer_dim, kernel_size=(1, 1, 1),
-                      name="out_conv1")(out)
+                      name="out_conv1", dtype=self.compute_dtype)(out)
         out = act(out)
         out = nn.Conv(self.out_channels * self.out_timesteps,
-                      kernel_size=(1, 1, 1), name="out_conv2")(out)
+                      kernel_size=(1, 1, 1), name="out_conv2",
+                      dtype=self.compute_dtype)(out)
+        out = out.astype(jnp.float32)
         out = out.reshape(B, X, Y, Z, self.out_timesteps, self.out_channels)
         if self.normalize:
             out = out * sigma + mu
