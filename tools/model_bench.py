@@ -37,8 +37,9 @@ MODELS = {
                 width=64, compute_dtype="bfloat16", remat=False),
         batch=32, accum=4),
     "deeponet": dict(
-        kw=dict(model_name="deeponet", p=128, dropout_rate=0.1),
-        batch=32, accum=2),  # accum=1 exceeds 16G HBM (17.4G peak)
+        kw=dict(model_name="deeponet", p=128, dropout_rate=0.1,
+                compute_dtype="bfloat16"),
+        batch=32, accum=2),  # f32 accum=1 exceeds 16G HBM (17.4G peak)
     "unet": dict(
         kw=dict(model_name="unet", dim_mults=[1, 2, 4],
                 compute_dtype="bfloat16", remat=False),
@@ -48,23 +49,24 @@ MODELS = {
     "cno": dict(
         kw=dict(model_name="cno", N_layers=3, N_res=1, N_res_neck=6,
                 channel_multiplier=32, latent_lift_proj_dim=64,
-                activation="LeakyReLU"),
+                activation="LeakyReLU", compute_dtype="bfloat16"),
         batch=16, accum=4),
     "mwt": dict(
         kw=dict(model_name="mwt", k=3, alpha=5, c=4, nCZ=4, base="legendre",
-                L=0),
+                L=0, compute_dtype="bfloat16"),
         batch=32, accum=4),
     "galerkin_transformer": dict(
         kw=dict(model_name="galerkin_transformer", n_hidden=256,
                 num_encoder_layers=4, n_head=4, dim_feedforward=256,
                 fourier_modes_x=16, fourier_modes_y=20, fourier_modes_t=4,
-                num_regressor_layers=2, freq_dim=128, encoder_dropout=0.05),
-        batch=16, accum=8),  # accum=4 peaks 16.3G on a 16G chip
+                num_regressor_layers=2, freq_dim=128, encoder_dropout=0.05,
+                compute_dtype="bfloat16"),
+        batch=16, accum=8),  # f32 accum=4 peaks 16.3G on a 16G chip
     "transolver": dict(
         kw=dict(model_name="transolver", space_dim=3, n_layers=1,
                 n_hidden=256, n_head=8, H=128, W=64, D=20, fun_dim=0,
                 out_dim=3, ref=8, dropout=0.1, act="gelu", mlp_ratio=1,
-                slice_num=16),
+                slice_num=16, compute_dtype="bfloat16"),
         batch=16, accum=4),
     "dpot": dict(
         kw=dict(model_name="dpot", img_size=128, in_channels=4,
@@ -76,7 +78,8 @@ MODELS = {
     "wdno": dict(
         kw=dict(model_name="wdno", dim=256, dim_mults=[1, 2],
                 wave_type="bior1.1", pad_mode="zero", beta_schedule="sigmoid",
-                timesteps=1000, sampling_timesteps=10, ddim_sampling_eta=1.0),
+                timesteps=1000, sampling_timesteps=10, ddim_sampling_eta=1.0,
+                compute_dtype="bfloat16"),
         batch=16, accum=8),
 }
 
