@@ -74,6 +74,10 @@ def main():
         generate_controlled_sweep(
             args.dataset_root, args.n_sim, args.n_frames, args.nx, args.ny,
         )
+    elif args.scenario == "foil":
+        generate_foil_sweep(
+            args.dataset_root, args.n_sim, args.n_frames,
+        )
     else:
         generate_cylinder_sweep(
             args.dataset_root, args.scenario, args.n_sim, args.n_frames,
@@ -188,6 +192,57 @@ def generate_fsi_sweep(dataset_root, n_sim=4, n_frames=256, nx=128, ny=128,
                 "body_center", data=np.asarray(centers[warmup_frames:]))
         written.append(path)
         print(f"fsi sim {sim_id}: Re={re:.1f} k={k_spring:.1f} → {path}")
+    return written
+
+
+def generate_foil_sweep(dataset_root, n_sim=4, n_frames=256, nx=96, ny=64,
+                        nz=32, substeps=4, aoa_min=5.0, aoa_max=15.0,
+                        seed=0, warmup_frames=32, pitch_amp_deg=0.0,
+                        pitch_freq=0.5):
+    """3-D tapered-wing trajectories (reference counterpart:
+    `data/sim_generation/foil/ThreeD_NACA.jl` — a static NACA0025 wing at
+    an AoA sweep). Writes the benchmark mid-span `measured_data/{u,v,p}`
+    layout. ``pitch_amp_deg > 0`` switches to the moving-body pitching wing
+    (beyond-reference; the AoA trace is stored alongside)."""
+    import h5py
+
+    from realpdebench_tpu.sim.ns3d import (
+        Solver3DConfig, simulate_foil, simulate_pitching_foil,
+    )
+
+    out_dir = os.path.join(dataset_root, "foil", "numerical")
+    os.makedirs(out_dir, exist_ok=True)
+    aoas = np.linspace(aoa_min, aoa_max, n_sim)
+    key = jax.random.PRNGKey(seed)
+    written = []
+    for i, aoa in enumerate(aoas):
+        cfg = Solver3DConfig(nx=nx, ny=ny, nz=nz, aoa_deg=float(aoa))
+        key, k = jax.random.split(key)
+        total = n_frames + warmup_frames
+        if pitch_amp_deg > 0:
+            frames, aoa_trace = simulate_pitching_foil(
+                cfg, k, total, substeps=substeps,
+                pitch_amp_deg=float(pitch_amp_deg),
+                pitch_freq=float(pitch_freq))
+            aoa_trace = np.asarray(aoa_trace[warmup_frames:])
+        else:
+            frames = simulate_foil(cfg, k, total, substeps=substeps)
+            aoa_trace = None
+        frames = np.asarray(frames[warmup_frames:])
+        sim_id = 2000 + i
+        path = os.path.join(out_dir, f"{sim_id}_{aoa:.1f}_.h5")
+        with h5py.File(path, "w") as f:
+            g = f.create_group("measured_data")
+            g.create_dataset("u", data=frames[..., 0])
+            g.create_dataset("v", data=frames[..., 1])
+            g.create_dataset("p", data=frames[..., 2])
+            f.attrs["aoa_deg"] = float(aoa)
+            f.attrs["pitch_amp_deg"] = float(pitch_amp_deg)
+            if aoa_trace is not None:
+                f.create_dataset("aoa_trace", data=aoa_trace)
+        written.append(path)
+        print(f"foil sim {sim_id}: AoA={aoa:.1f} "
+              f"pitch={pitch_amp_deg:.1f} → {path}")
     return written
 
 

@@ -144,6 +144,35 @@ def test_foil_3d():
     np.testing.assert_allclose(vol[:, :, :, mid, 3], frames[..., 2], rtol=1e-6)
 
 
+def test_pitching_foil_3d():
+    """Moving-body 3-D wing: zero pitch amplitude reproduces the static
+    solver exactly; nonzero amplitude changes the flow and stays finite."""
+    import jax
+
+    from realpdebench_tpu.sim.ns3d import (
+        Solver3DConfig, simulate_foil, simulate_pitching_foil,
+    )
+
+    cfg = Solver3DConfig(nx=32, ny=24, nz=12, dt=0.02)
+    static = np.asarray(simulate_foil(cfg, jax.random.PRNGKey(0), n_frames=6,
+                                      substeps=1))
+    frames0, aoa0 = simulate_pitching_foil(
+        cfg, jax.random.PRNGKey(0), n_frames=6, substeps=1,
+        pitch_amp_deg=0.0, pitch_freq=0.5)
+    np.testing.assert_allclose(np.asarray(frames0), static, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aoa0), cfg.aoa_deg, atol=1e-6)
+
+    frames, aoas = simulate_pitching_foil(
+        cfg, jax.random.PRNGKey(0), n_frames=6, substeps=1,
+        pitch_amp_deg=8.0, pitch_freq=2.0)
+    frames = np.asarray(frames)
+    assert frames.shape == (6, 32, 24, 3)
+    assert np.isfinite(frames).all()
+    # the pitch actually perturbs the flow and the AoA trace moves
+    assert np.abs(frames - static).max() > 1e-3
+    assert np.asarray(aoas).std() > 0.5
+
+
 def test_fsi_body_responds_to_flow():
     """The elastically mounted cylinder must actually move (VIV): body-center
     excursion nonzero, bounded by the configured clamp, and fields finite."""
@@ -161,6 +190,26 @@ def test_fsi_body_responds_to_flow():
     assert excursion > 1e-4, "body never moved"
     max_off = fsi.max_excursion * cfg.diameter + 1e-6
     assert np.abs(centers - np.asarray(cfg.center)).max() <= max_off
+
+
+def test_generate_foil_sweep(tmp_path):
+    """Foil sweep (pitching mode) writes benchmark-layout mid-span HDF5
+    with the AoA trace diagnostic."""
+    import h5py
+
+    from realpdebench_tpu.sim.generate import generate_foil_sweep
+
+    paths = generate_foil_sweep(
+        str(tmp_path), n_sim=2, n_frames=12, nx=24, ny=16, nz=8,
+        substeps=1, warmup_frames=4, pitch_amp_deg=6.0, pitch_freq=1.0,
+    )
+    assert len(paths) == 2
+    with h5py.File(paths[0]) as f:
+        u = f["measured_data/u"][:]
+        assert u.shape == (12, 24, 16)
+        assert np.isfinite(u).all()
+        assert f["aoa_trace"].shape == (12,)
+        assert f.attrs["pitch_amp_deg"] == 6.0
 
 
 def test_generate_fsi_consumable_by_dataset(tmp_path):
