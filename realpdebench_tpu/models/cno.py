@@ -304,6 +304,7 @@ class CNO3d(nn.Module):
             name="project", **common,
         )(x, train)
 
+        x = x.astype(jnp.float32)
         if self.out_dim_mult > 1:
             # reference cno.py:519-520: flatten (T,H,W,C·M) → (T·M,H,W,C)
             B = x.shape[0]

@@ -157,10 +157,14 @@ class AFNO2D(nn.Module):
 
         dt = self.dtype
         f32 = jnp.float32
+        # the CPU thunk runtime cannot lower BF16xBF16=F32 dots; there the
+        # einsum runs plain-bf16 and upcasts after (TPU keeps f32 accum)
+        pet = None if jax.default_backend() == "cpu" else f32
 
         def mm(a, w):
-            return jnp.einsum("...bi,bio->...bo", a.astype(dt), w.astype(dt),
-                              preferred_element_type=f32)
+            out = jnp.einsum("...bi,bio->...bo", a.astype(dt), w.astype(dt),
+                             preferred_element_type=pet)
+            return out.astype(f32)
 
         o1r = act(mm(xr, w1[0]) - mm(xi, w1[1]) + b1[0])
         o1i = act(mm(xi, w1[0]) + mm(xr, w1[1]) + b1[1])

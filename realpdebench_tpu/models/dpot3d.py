@@ -108,7 +108,9 @@ class DPOT3DBlock(nn.Module):
         h2 = ACT[self.act](h2)
         h2 = nn.Conv(self.width, kernel_size=(1, 1, 1), name="mlp2",
                      dtype=self.dtype)(h2)
-        return (h2 + residual.astype(h2.dtype)).astype(jnp.float32)
+        # residual stream stays f32 (same as the 2-D DPOTBlock, dpot.py:207):
+        # re-quantizing the carry to bf16 every block compounds rounding
+        return h2.astype(jnp.float32) + residual
 
 
 class DPOTNet3D(nn.Module):

@@ -244,6 +244,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
 
         kwargs = dict(kwargs)
         kwargs["_train_dataset"] = train_dataset  # for the wavelet rescaler
+        kwargs["_compute_dtype"] = compute_dtype  # resolved jnp dtype
         return build_wdno_bundle(shape_in, shape_out, kwargs)
 
     if model_name == "dmd":

@@ -406,8 +406,8 @@ def build_wdno_bundle(shape_in, shape_out, cfg: dict) -> ModelBundle:
         channels=channels,
         in_time=pipe.model_shape[0],
         out_time=pipe.model_shape[0],
-        compute_dtype={None: jnp.float32, "float32": jnp.float32,
-                       "bfloat16": jnp.bfloat16}[cfg.get("compute_dtype")],
+        # resolved by the registry's compute_dtype mapping (registry.py:29)
+        compute_dtype=cfg.get("_compute_dtype", jnp.float32),
         remat=bool(cfg.get("remat", True)),
     )
 

@@ -116,10 +116,14 @@ def _dft_factors(T: int, H: int, W: int, m1: int, m2: int, m3: int):
     Et = fwd(T, kt).astype(np.complex64)
 
     # inverse: ifft over T and H on the kept modes; irfft over W with the
-    # Hermitian-doubling weights (c_0 = 1, c_{k>0} = 2) and real projection
+    # Hermitian-doubling weights (c_0 = 1, c_{k>0} = 2) and real projection.
+    # The Nyquist bin (k = W/2, even W) is its own conjugate: weight 1, and
+    # its sin row is identically zero so the imaginary part drops — matching
+    # numpy irfft when the mode budget reaches the full rfft width.
     It = np.conj(Et).T / T                       # [2m1, T]
     Ih = np.conj(Eh).T / H                       # [2m2, H]
-    c = np.where(kw == 0, 1.0, 2.0) / W
+    nyq = (W % 2 == 0) & (kw == W // 2)
+    c = np.where((kw == 0) | nyq, 1.0, 2.0) / W
     theta = 2 * np.pi * np.outer(kw, np.arange(W)) / W
     Iw_re = (c[:, None] * np.cos(theta)).astype(np.float32)   # [m3, W]
     Iw_im = (-c[:, None] * np.sin(theta)).astype(np.float32)  # [m3, W]

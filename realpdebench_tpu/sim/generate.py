@@ -64,6 +64,12 @@ def main():
     parser.add_argument("--ny", type=int, default=128)
     parser.add_argument("--re-min", type=float, default=80.0)
     parser.add_argument("--re-max", type=float, default=200.0)
+    parser.add_argument("--nz", type=int, default=32,
+                        help="spanwise resolution (foil only)")
+    parser.add_argument("--pitch-amp-deg", type=float, default=0.0,
+                        help="pitching amplitude (foil only; 0 = static)")
+    parser.add_argument("--pitch-freq", type=float, default=0.5,
+                        help="pitching frequency (foil only)")
     args = parser.parse_args()
     if args.scenario == "fsi":
         generate_fsi_sweep(
@@ -77,6 +83,8 @@ def main():
     elif args.scenario == "foil":
         generate_foil_sweep(
             args.dataset_root, args.n_sim, args.n_frames,
+            nx=args.nx, ny=args.ny, nz=args.nz,
+            pitch_amp_deg=args.pitch_amp_deg, pitch_freq=args.pitch_freq,
         )
     else:
         generate_cylinder_sweep(
@@ -230,7 +238,9 @@ def generate_foil_sweep(dataset_root, n_sim=4, n_frames=256, nx=96, ny=64,
             aoa_trace = None
         frames = np.asarray(frames[warmup_frames:])
         sim_id = 2000 + i
-        path = os.path.join(out_dir, f"{sim_id}_{aoa:.1f}_.h5")
+        # Foil's file_name_pattern is r"(\d+)_(\d+\.?\d*)\.h5" — no trailing
+        # underscore (data/fluid.py:321)
+        path = os.path.join(out_dir, f"{sim_id}_{aoa:.1f}.h5")
         with h5py.File(path, "w") as f:
             g = f.create_group("measured_data")
             g.create_dataset("u", data=frames[..., 0])

@@ -48,3 +48,26 @@ def _remove_import_stubs():
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def assert_bf16_close(build_kwargs, shapes, rng, rel_tol=0.1):
+    """Shared bf16-vs-f32 closeness check: compute_dtype='bfloat16' must keep
+    f32 params, return f32 outputs, and track the f32 forward within
+    ``rel_tol`` relative L2 (bf16 carries ~3 decimal digits)."""
+    import jax
+    import jax.numpy as jnp
+
+    from realpdebench_tpu.models.registry import build_model
+
+    x = rng.normal(size=(2, *shapes[0])).astype(np.float32)
+    b32 = build_model(shapes=shapes, **build_kwargs)
+    v = b32.init(jax.random.PRNGKey(0), x)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(v["params"]))
+    b16 = build_model(shapes=shapes, compute_dtype="bfloat16", **build_kwargs)
+    o32 = np.asarray(b32.predict(v, x))
+    o16_dev = b16.predict(v, x)
+    assert o16_dev.dtype == jnp.float32  # eval/H5 writers need f32 outputs
+    o16 = np.asarray(o16_dev, np.float32)
+    rel = np.linalg.norm(o16 - o32) / np.linalg.norm(o32)
+    assert rel < rel_tol, rel

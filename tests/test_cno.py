@@ -28,21 +28,9 @@ def test_forward_shape(rng):
 
 
 def test_bf16_compute_close_to_f32(rng):
-    """compute_dtype='bfloat16' keeps f32 params and tracks the f32 output."""
-    import jax.numpy as jnp
+    from conftest import assert_bf16_close
 
-    x = rng.normal(size=(2, *SHAPE_IN)).astype(np.float32)
-    b32 = build_model(shapes=(SHAPE_IN, SHAPE_OUT), **KW)
-    v = b32.init(jax.random.PRNGKey(0), x)
-    b16 = build_model(shapes=(SHAPE_IN, SHAPE_OUT), compute_dtype="bfloat16",
-                      **KW)
-    assert all(l.dtype == jnp.float32
-               for l in jax.tree_util.tree_leaves(v["params"]))
-    o32 = np.asarray(b32.predict(v, x))
-    o16 = np.asarray(b16.predict(v, x), np.float32)
-    # bf16 has ~3 decimal digits; outputs should agree to ~1e-1 relative
-    rel = np.linalg.norm(o16 - o32) / np.linalg.norm(o32)
-    assert rel < 0.1, rel
+    assert_bf16_close(KW, (SHAPE_IN, SHAPE_OUT), rng)
 
 
 def test_time_upsampling(rng):

@@ -21,6 +21,21 @@ KW = dict(
 )
 
 
+def test_bf16_compute_close_to_f32(rng):
+    from conftest import assert_bf16_close
+
+    assert_bf16_close(KW, (SHAPE_IN, SHAPE_OUT), rng)
+
+
+def test_dpot3d_bf16_compute_close_to_f32(rng):
+    from conftest import assert_bf16_close
+
+    sh = (4, 8, 8, 8, 3)
+    kw = {**KW, "model_type": "dpot3d", "img_size": 8, "patch_size": 4,
+          "embed_dim": 16, "n_cls": 1}
+    assert_bf16_close(kw, (sh, sh), rng)
+
+
 @pytest.mark.skipif(
     not os.path.isdir("/root/reference"), reason="reference repo not mounted"
 )

@@ -40,6 +40,20 @@ def test_dft_real_matches_fft(case):
     np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-5)
 
 
+def test_dft_exact_at_full_rfft_width():
+    """m3 == W//2+1 with even W keeps the Nyquist bin: its inverse weight is
+    1 (self-conjugate), not 2 — the DFT path must still match irfftn."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4, 6, 8, 3)).astype(np.float32)
+    m1, m2, m3 = 2, 3, 5  # m3 = 8//2 + 1 → full rfft width incl. Nyquist
+    wr = (rng.standard_normal((4, 3, 4, m1, m2, m3)) * 0.1).astype(np.float32)
+    wi = (rng.standard_normal((4, 3, 4, m1, m2, m3)) * 0.1).astype(np.float32)
+    ref = np.asarray(truncated_spectral_conv3d_fft(x, wr, wi))
+    out = np.asarray(truncated_spectral_conv3d_dft_lowp(
+        x, wr, wi, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-5)
+
+
 def test_dft_c64_matches_fft(case):
     x, wr, wi = case
     ref = np.asarray(truncated_spectral_conv3d_fft(x, wr, wi))

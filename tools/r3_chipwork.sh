@@ -4,7 +4,7 @@
 # queue, (3) a full 9-model sweep with the bf16 specs (--write-md).
 cd "$(dirname "$0")/.."
 echo "$(date -u +%H:%M:%S) waiting for TPU" >> /tmp/r3_chipwork.log
-until timeout 180 python -c "import jax; assert jax.devices()" 2>/dev/null; do
+until timeout 180 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" 2>/dev/null; do
   echo "$(date -u +%H:%M:%S) tpu still down" >> /tmp/r3_chipwork.log
   sleep 180
 done
