@@ -21,7 +21,7 @@ import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from realpdebench_tpu.core.mesh import MODEL_AXIS, MeshContext
+from realpdebench_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, MeshContext
 
 
 def _leaf_spec(path: str, leaf, mp: int) -> P:
@@ -104,5 +104,10 @@ def token_constraint(x, mesh, token_axis: int = 1):
         return x
     spec = [None] * x.ndim
     spec[token_axis] = MODEL_AXIS
+    # keep the leading batch axis on dp: a None there would FORCE the batch
+    # replicated (all-gather), and the SPMD conv weight-gradient then psums
+    # dp-replicated contributions — grads come out dp× too large
+    if mesh.shape.get(DATA_AXIS, 1) > 1 and token_axis != 0:
+        spec[0] = DATA_AXIS
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*spec)))

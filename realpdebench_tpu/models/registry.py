@@ -104,6 +104,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             shape_in=shape_in,
             shape_out=shape_out,
             compute_dtype=compute_dtype,
+            seq_mesh=kwargs.get("seq_mesh"),
         )
         return ModelBundle(
             name="transolver", module=module, mutable=(), needs_train_flag=True,

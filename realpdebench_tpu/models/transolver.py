@@ -18,10 +18,11 @@ reference `configs/cylinder/trainsolver.yaml:19-22`) are preserved.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from realpdebench_tpu.ops.activations import gelu as act_gelu
 
@@ -61,11 +62,19 @@ class PhysicsAttention3d(nn.Module):
     dropout: float = 0.0
     kernel: int = 3
     dtype: jnp.dtype = jnp.float32
+    seq_mesh: Optional[Mesh] = None  # sequence parallelism: tokens over mp
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from realpdebench_tpu.core.partitioning import token_constraint
+
         B, N, C = x.shape
         inner = self.dim_head * self.heads
+        x = token_constraint(x, self.seq_mesh)
+        # the k3 conv projections see the grid view; GSPMD picks their
+        # partitioning from the surrounding token constraints (an explicit
+        # H-axis constraint here made spatially-partitioned conv wgrads
+        # double-count halo contributions on the CPU SPMD backend)
         xg = x.reshape(B, self.H, self.W, self.D, C)
 
         k = (self.kernel,) * 3
@@ -74,12 +83,12 @@ class PhysicsAttention3d(nn.Module):
         x_mid = nn.Conv(inner, kernel_size=k, padding="SAME",
                         name="in_project_x", dtype=self.dtype)(xg)
         # [B, N, heads, dim_head] → [B, heads, N, dim_head]
-        fx_mid = fx_mid.reshape(B, N, self.heads, self.dim_head).transpose(
-            0, 2, 1, 3
-        )
-        x_mid = x_mid.reshape(B, N, self.heads, self.dim_head).transpose(
-            0, 2, 1, 3
-        )
+        fx_mid = token_constraint(
+            fx_mid.reshape(B, N, self.heads, self.dim_head).transpose(
+                0, 2, 1, 3), self.seq_mesh, token_axis=2)
+        x_mid = token_constraint(
+            x_mid.reshape(B, N, self.heads, self.dim_head).transpose(
+                0, 2, 1, 3), self.seq_mesh, token_axis=2)
 
         temperature = self.param(
             "temperature",
@@ -90,6 +99,11 @@ class PhysicsAttention3d(nn.Module):
         slice_weights = nn.softmax(
             logits / jnp.clip(temperature, 0.1, 5.0), axis=-1
         ).astype(self.dtype)  # [B, h, N, G]; softmax itself in f32
+        slice_weights = token_constraint(slice_weights, self.seq_mesh,
+                                         token_axis=2)
+        # N-contractions below are the only cross-token coupling: GSPMD
+        # turns them into per-shard partials + an ICI psum; the G-token
+        # attention itself is tiny and replicated
         slice_norm = slice_weights.sum(axis=2)  # [B, h, G]
         slice_token = jnp.einsum("bhnc,bhng->bhgc", fx_mid, slice_weights)
         slice_token = slice_token / (slice_norm + 1e-5)[..., None]
@@ -106,7 +120,9 @@ class PhysicsAttention3d(nn.Module):
         out_token = jnp.einsum("bhgk,bhkd->bhgd", attn, v)
 
         out_x = jnp.einsum("bhgc,bhng->bhnc", out_token, slice_weights)
-        out_x = out_x.transpose(0, 2, 1, 3).reshape(B, N, inner)
+        out_x = token_constraint(
+            out_x.transpose(0, 2, 1, 3).reshape(B, N, inner),
+            self.seq_mesh)
         out = nn.Dense(self.dim, kernel_init=trunc_init, name="to_out",
                        dtype=self.dtype)(out_x)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
@@ -124,6 +140,7 @@ class TransolverBlock(nn.Module):
     last_layer: bool = False
     out_dim: int = 1
     dtype: jnp.dtype = jnp.float32
+    seq_mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, fx, train: bool = False):
@@ -131,7 +148,8 @@ class TransolverBlock(nn.Module):
             self.hidden_dim, heads=self.num_heads,
             dim_head=self.hidden_dim // self.num_heads,
             slice_num=self.slice_num, H=self.H, W=self.W, D=self.D,
-            dropout=self.dropout, dtype=self.dtype, name="attn",
+            dropout=self.dropout, dtype=self.dtype, seq_mesh=self.seq_mesh,
+            name="attn",
         )(nn.LayerNorm(epsilon=1e-5, name="ln_1", dtype=self.dtype)(fx),
           train=train) + fx
         fx = TransolverMLP(
@@ -164,12 +182,15 @@ class Transolver3d(nn.Module):
     dropout: float = 0.0
     unified_pos: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    seq_mesh: Optional[Mesh] = None  # sequence parallelism: tokens over mp
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from realpdebench_tpu.core.partitioning import token_constraint
+
         B = x.shape[0]
         in_shape = x.shape
-        x = x.reshape(B, -1, in_shape[-1])
+        x = token_constraint(x.reshape(B, -1, in_shape[-1]), self.seq_mesh)
 
         if self.unified_pos:
             pos = self._unified_pos()
@@ -197,7 +218,8 @@ class Transolver3d(nn.Module):
                 dropout=self.dropout, mlp_ratio=self.mlp_ratio,
                 slice_num=self.slice_num, H=self.H, W=self.W, D=self.D,
                 last_layer=(i == self.n_layers - 1), out_dim=self.out_dim,
-                dtype=self.compute_dtype, name=f"block_{i}",
+                dtype=self.compute_dtype, seq_mesh=self.seq_mesh,
+                name=f"block_{i}",
             )(fx, train=train)
 
         return fx.reshape(*in_shape[:-1], self.out_dim)

@@ -135,7 +135,8 @@ def run_training(cfg, exp_path: str, mesh_ctx: MeshContext | None = None,
     normalizer = build_normalizer(cfg.get("normalizer", "gaussian"), norm_ds)
     extra = {}
     if cfg.get("seq_shard") and mesh_ctx.mp_size > 1:
-        # sequence parallelism: GKT token axis over mp (core/partitioning.py)
+        # sequence parallelism: token axis over mp for GKT and Transolver
+        # (core/partitioning.py::token_constraint)
         extra["seq_mesh"] = mesh_ctx.mesh
     bundle = build_model(train_dataset=train_ds, **cfg.to_dict(), **extra)
 

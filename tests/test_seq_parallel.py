@@ -74,3 +74,57 @@ def test_tokens_actually_sharded(oracle_and_sharded):
     out = f(h)
     # token axis (1) sharded 4-way over mp
     assert out.sharding.spec[1] == "mp", out.sharding
+
+
+# --- Transolver: physics attention with the token axis over mp ------------
+
+TRANSOLVER_KW = dict(
+    model_name="transolver", space_dim=3, n_layers=2, n_hidden=16, n_head=2,
+    H=8, W=8, D=4, fun_dim=0, out_dim=3, ref=4, dropout=0.0, act="gelu",
+    mlp_ratio=2, slice_num=8,
+)
+T_SHAPE = (4, 8, 8, 3)  # N = 256 tokens; model grid (H,W,D) = (8,8,4)
+
+
+@pytest.fixture(scope="module")
+def transolver_oracle_and_sharded():
+    ctx = make_mesh_context("dp=2,mp=4")
+    plain = build_model(shapes=(T_SHAPE, T_SHAPE), **TRANSOLVER_KW)
+    sharded = build_model(shapes=(T_SHAPE, T_SHAPE), seq_mesh=ctx.mesh,
+                          **TRANSOLVER_KW)
+    x = np.random.default_rng(1).standard_normal((4, *T_SHAPE)).astype(
+        np.float32)
+    variables = plain.init(jax.random.PRNGKey(0), x[:1])
+    return ctx, plain, sharded, variables, x
+
+
+def test_transolver_forward_matches_oracle(transolver_oracle_and_sharded):
+    """Sharding the N tokens over mp must not change the physics-attention
+    output: the only cross-token couplings (slice softmax-sum + the two
+    N-contractions) become per-shard partials + ICI psum; the k3 conv
+    projections run spatially partitioned with GSPMD halo exchange."""
+    ctx, plain, sharded, variables, x = transolver_oracle_and_sharded
+    want = np.asarray(plain.predict(variables, x))
+    xd = jax.device_put(x, ctx.batch_sharding)
+    got = np.asarray(sharded.predict(variables, xd))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_transolver_grads_match_oracle(transolver_oracle_and_sharded):
+    ctx, plain, sharded, variables, x = transolver_oracle_and_sharded
+
+    def grads(bundle, v, xb):
+        def f(params):
+            out = bundle.module.apply({**v, "params": params}, xb,
+                                      train=False)
+            return jnp.mean(out ** 2)
+        return jax.jit(jax.grad(f))(v["params"])
+
+    g_plain = grads(plain, variables, x)
+    g_shard = grads(sharded, variables,
+                    jax.device_put(x, ctx.batch_sharding))
+    flat_p, _ = jax.tree_util.tree_flatten(g_plain)
+    flat_s, _ = jax.tree_util.tree_flatten(g_shard)
+    for a, b in zip(flat_p, flat_s):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)
