@@ -100,14 +100,16 @@ def token_constraint(x, mesh, token_axis: int = 1):
 
     No-op when ``mesh`` is None or has no model axis.
     """
-    if mesh is None or mesh.shape.get(MODEL_AXIS, 1) <= 1:
+    mp = 1 if mesh is None else mesh.shape.get(MODEL_AXIS, 1)
+    if mesh is None or mp <= 1 or x.shape[token_axis] % mp != 0:
         return x
     spec = [None] * x.ndim
     spec[token_axis] = MODEL_AXIS
     # keep the leading batch axis on dp: a None there would FORCE the batch
     # replicated (all-gather), and the SPMD conv weight-gradient then psums
     # dp-replicated contributions — grads come out dp× too large
-    if mesh.shape.get(DATA_AXIS, 1) > 1 and token_axis != 0:
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    if dp > 1 and token_axis != 0 and x.shape[0] % dp == 0:
         spec[0] = DATA_AXIS
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*spec)))
