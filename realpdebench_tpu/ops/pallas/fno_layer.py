@@ -551,18 +551,36 @@ def mid_spectral(y, w_real, w_imag, B, Tp):
     (fno.py:53-60 order) → inverse T → same packed shape.
 
     All tensors here are O(B·T·m2·m3·C) — a few MB; runs in plain XLA so
-    autodiff produces the w_real/w_imag gradients."""
+    autodiff produces the w_real/w_imag gradients.
+
+    ``REALPDEBENCH_FNO_MID=bf16`` (opt-in) runs the einsums with bf16
+    operands and f32 accumulation — halves the mid-section HBM traffic in
+    bf16 training mode at ~1e-3 relative output error."""
+    import os
+
     _, Cin, Cout, m1, m2, m3 = w_real.shape
     BT, Y, C2 = y.shape
     C = C2 // 2
     EtR, EtI, ItR, ItI = (jnp.asarray(t) for t in _t_consts(Tp, m1))
 
+    if os.environ.get("REALPDEBENCH_FNO_MID") == "bf16":
+        dt = jnp.bfloat16
+        # this CPU thunk runtime cannot lower BF16xBF16=F32 dots
+        pet = (None if jax.default_backend() == "cpu" else jnp.float32)
+        _es = jnp.einsum
+
+        def jnp_einsum(eq_, a, b):
+            return _es(eq_, a.astype(dt), b.astype(dt),
+                       preferred_element_type=pet).astype(jnp.float32)
+    else:
+        jnp_einsum = jnp.einsum
+
     y6 = y.reshape(B, Tp, 2 * m2, m3, 2, C)
     yr = y6[..., 0, :]
     yi = y6[..., 1, :]                             # [B, Tp, 2m2, m3, C]
-    zr = jnp.einsum("btjmc,tk->bkjmc", yr, EtR) - jnp.einsum(
+    zr = jnp_einsum("btjmc,tk->bkjmc", yr, EtR) - jnp_einsum(
         "btjmc,tk->bkjmc", yi, EtI)
-    zi = jnp.einsum("btjmc,tk->bkjmc", yr, EtI) + jnp.einsum(
+    zi = jnp_einsum("btjmc,tk->bkjmc", yr, EtI) + jnp_einsum(
         "btjmc,tk->bkjmc", yi, EtR)
 
     def corners(z):
@@ -574,8 +592,8 @@ def mid_spectral(y, w_real, w_imag, B, Tp):
     # corner dims (b, 4, m1, m2, m3, cin) match the reference contraction
     # order directly (weights [4, Cin, Cout, m1, m2, m3], fno.py:53-60)
     eq = "bkxyzi,kioxyz->bkxyzo"
-    outr = jnp.einsum(eq, cr, w_real) - jnp.einsum(eq, ci, w_imag)
-    outi = jnp.einsum(eq, cr, w_imag) + jnp.einsum(eq, ci, w_real)
+    outr = jnp_einsum(eq, cr, w_real) - jnp_einsum(eq, ci, w_imag)
+    outi = jnp_einsum(eq, cr, w_imag) + jnp_einsum(eq, ci, w_real)
 
     def regrid(o):
         top = jnp.concatenate([o[:, 0], o[:, 2]], axis=2)
@@ -583,9 +601,9 @@ def mid_spectral(y, w_real, w_imag, B, Tp):
         return jnp.concatenate([top, bot], axis=1)  # [B, 2m1, 2m2, m3, Cout]
 
     gr_, gi_ = regrid(outr), regrid(outi)
-    tr = jnp.einsum("bkjmc,kt->btjmc", gr_, ItR) - jnp.einsum(
+    tr = jnp_einsum("bkjmc,kt->btjmc", gr_, ItR) - jnp_einsum(
         "bkjmc,kt->btjmc", gi_, ItI)
-    ti = jnp.einsum("bkjmc,kt->btjmc", gr_, ItI) + jnp.einsum(
+    ti = jnp_einsum("bkjmc,kt->btjmc", gr_, ItI) + jnp_einsum(
         "bkjmc,kt->btjmc", gi_, ItR)
     g = jnp.stack([tr, ti], axis=4)                # [B, Tp, 2m2, m3, 2, C]
     return g.reshape(BT, Y, C2)

@@ -208,3 +208,19 @@ def test_fused_layer_bf16_mxu_parity():
     f_ref = np.asarray(_fold(stats_ref))
     np.testing.assert_allclose(f, f_ref, rtol=0.05,
                                atol=0.05 * np.abs(f_ref).max())
+
+
+def test_mid_spectral_bf16_flag_close(monkeypatch):
+    """REALPDEBENCH_FNO_MID=bf16 (opt-in) runs the mid einsums in bf16 with
+    f32 accumulation — output must track the f32 path closely."""
+    from realpdebench_tpu.ops.pallas.fno_layer import mid_spectral
+
+    r = np.random.default_rng(3)
+    y = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
+    wr = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    wi = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    want = np.asarray(mid_spectral(y, wr, wi, B, Tp))
+    monkeypatch.setenv("REALPDEBENCH_FNO_MID", "bf16")
+    got = np.asarray(mid_spectral(y, wr, wi, B, Tp))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 3e-2, rel
