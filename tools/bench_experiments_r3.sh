@@ -9,6 +9,7 @@ run() {
   env "$@" timeout 2400 python tools/model_bench.py "$MODEL" 2>&1 | grep '^{' >> $L
 }
 
+MODEL=fno      run REALPDEBENCH_FNO_MID=bf16
 MODEL=unet     run REALPDEBENCH_BENCH_ACCUM=2
 MODEL=cno      run REALPDEBENCH_BENCH_KW='{"remat":false}'
 MODEL=wdno     run REALPDEBENCH_BENCH_KW='{"remat":false}' REALPDEBENCH_BENCH_ACCUM=4
