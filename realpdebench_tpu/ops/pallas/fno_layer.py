@@ -592,8 +592,21 @@ def mid_spectral(y, w_real, w_imag, B, Tp):
     # corner dims (b, 4, m1, m2, m3, cin) match the reference contraction
     # order directly (weights [4, Cin, Cout, m1, m2, m3], fno.py:53-60)
     eq = "bkxyzi,kioxyz->bkxyzo"
-    outr = jnp_einsum(eq, cr, w_real) - jnp_einsum(eq, ci, w_imag)
-    outi = jnp_einsum(eq, cr, w_imag) + jnp_einsum(eq, ci, w_real)
+    if os.environ.get("REALPDEBENCH_FNO_CORNER") == "block":
+        # 2x2 block-complex packing: (cr + i*ci)(wr + i*wi) as ONE real GEMM
+        # [cr | ci] . [[wr, wi], [-wi, wr]] = [outr | outi]. Per mode the
+        # batched GEMM becomes [B, 2Cin] x [2Cin, 2Cout] — full 128-lane
+        # K and N on the MXU and 4x fewer small batched-GEMM dispatches
+        # than the split real/imag form (M=B=8, K=N=64 per mode).
+        x2 = jnp.concatenate([cr, ci], axis=-1)
+        top = jnp.concatenate([w_real, w_imag], axis=2)
+        bot = jnp.concatenate([-w_imag, w_real], axis=2)
+        w2 = jnp.concatenate([top, bot], axis=1)
+        out2 = jnp_einsum(eq, x2, w2)              # [B, 4, m1, m2, m3, 2Co]
+        outr, outi = out2[..., :Cout], out2[..., Cout:]
+    else:
+        outr = jnp_einsum(eq, cr, w_real) - jnp_einsum(eq, ci, w_imag)
+        outi = jnp_einsum(eq, cr, w_imag) + jnp_einsum(eq, ci, w_real)
 
     def regrid(o):
         top = jnp.concatenate([o[:, 0], o[:, 2]], axis=2)

@@ -224,3 +224,27 @@ def test_mid_spectral_bf16_flag_close(monkeypatch):
     got = np.asarray(mid_spectral(y, wr, wi, B, Tp))
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 3e-2, rel
+
+
+def test_mid_spectral_block_corner_parity(monkeypatch):
+    """REALPDEBENCH_FNO_CORNER=block packs the 4-corner complex mixing into
+    one 2x2 block-complex GEMM — same math as the split real/imag einsums
+    (float-rounding-level differences only), including gradients."""
+    from realpdebench_tpu.ops.pallas.fno_layer import mid_spectral
+
+    r = np.random.default_rng(7)
+    y = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
+    wr = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    wi = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    ct = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
+
+    def run():
+        out, vjp = jax.vjp(lambda *a: mid_spectral(*a, B, Tp), y, wr, wi)
+        return (np.asarray(out), *(np.asarray(g) for g in vjp(ct)))
+
+    want = run()
+    monkeypatch.setenv("REALPDEBENCH_FNO_CORNER", "block")
+    got = run()
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=2e-5,
+                                   atol=2e-5 * np.abs(w).max())
