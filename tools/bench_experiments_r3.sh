@@ -10,6 +10,8 @@ run() {
 }
 
 MODEL=fno      run REALPDEBENCH_FNO_MID=bf16
+MODEL=fno      run REALPDEBENCH_FNO_MID=bf16 REALPDEBENCH_FNO_CORNER=block
+MODEL=fno      run REALPDEBENCH_FNO_CORNER=block
 MODEL=unet     run REALPDEBENCH_BENCH_ACCUM=2
 MODEL=unet     run REALPDEBENCH_TEMPORAL_ATTN=off   # kernel contribution A/B
 MODEL=cno      run REALPDEBENCH_BENCH_KW='{"remat":false}'
