@@ -75,6 +75,15 @@ MODELS = {
                 mlp_ratio=1, out_layer_dim=32, normalize=False, act="gelu",
                 time_agg="exp_mlp", n_cls=1, compute_dtype="bfloat16"),
         batch=16, accum=8),
+    # the reference also trains the Large backbone (configs/cylinder/
+    # dpot_l.yaml: 1536-dim, depth 24, mlp_ratio 4, out_layer_dim 1536)
+    "dpot_l": dict(
+        kw=dict(model_name="dpot", img_size=128, in_channels=4,
+                out_channels=4, in_timesteps=20, out_timesteps=20,
+                patch_size=8, embed_dim=1536, depth=24, n_blocks=16, modes=32,
+                mlp_ratio=4, out_layer_dim=1536, normalize=False, act="gelu",
+                time_agg="exp_mlp", n_cls=1, compute_dtype="bfloat16"),
+        batch=16, accum=8),
     "wdno": dict(
         kw=dict(model_name="wdno", dim=256, dim_mults=[1, 2],
                 wave_type="bior1.1", pad_mode="zero", beta_schedule="sigmoid",
