@@ -123,7 +123,7 @@ def main():
             flops_src = "xla_cost_analysis"
     except Exception:
         pass
-    peak_flops = 197e12 if n_chips == 1 else 197e12 * n_chips
+    peak_flops = 197e12 * n_chips
     mfu = steps_per_sec * flops_per_step / peak_flops
 
     # rollout frames/sec (eval path, device-synthesized batch); free the

@@ -125,6 +125,31 @@ def maybe_initialize_distributed():
             pass
 
 
+def assemble_from_process_local(x, mesh_ctx: MeshContext):
+    """Assemble a per-process batch slice into the logical global array.
+
+    No-op on single-process. ``x`` is this host's ``1/process_count`` slice
+    of a global batch (``DataLoader(process_shard=True)``); the result is a
+    global jax.Array sharded batch-over-dp on the mesh, built without any
+    cross-host transfer."""
+    if jax.process_count() == 1:
+        return x
+    s = mesh_ctx.batch_sharding
+    spec = P(*(s.spec + (None,) * (getattr(x, "ndim", 0) - len(s.spec))))
+    return jax.make_array_from_process_local_data(
+        NamedSharding(s.mesh, spec), x)
+
+
+def allgather_to_host(a):
+    """Gather a (possibly non-addressable) global array to full numpy on
+    every host. No-op on single-process."""
+    if jax.process_count() == 1:
+        return np.asarray(a)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
 def local_batch_slice(global_batch: int) -> slice:
     """The slice of the global batch this host is responsible for loading."""
     n_proc = jax.process_count()

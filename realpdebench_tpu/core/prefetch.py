@@ -27,8 +27,8 @@ def prefetch_to_device(iterator: Iterable, sharding, size: int = 2,
     slices of a global batch (``DataLoader(process_shard=True)``); the slices
     are then assembled into logical global arrays with
     ``jax.make_array_from_process_local_data``. A loader that yields full
-    batches (e.g. the surrogate loop's) keeps the plain ``device_put`` path
-    regardless of process count.
+    global batches keeps the plain ``device_put`` path regardless of
+    process count.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 

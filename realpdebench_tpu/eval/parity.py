@@ -167,8 +167,7 @@ def run_parity(cfg, exp_path: str) -> dict:
                                 pad_last=True)
             normalizer = build_normalizer(cfg.get("normalizer", "gaussian"),
                                           norm_ds)
-            _, y_probe = test_ds[0]
-            x_probe, _ = test_ds[0]
+            x_probe, y_probe = test_ds[0]
             c = y_probe.shape[-1] - infer_unmeasured_channels(y_probe[None])
             para_c = max(0, x_probe.shape[-1] - y_probe.shape[-1])
             results_torch = run_torch_eval(cfg, normalizer, loader,

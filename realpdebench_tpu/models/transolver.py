@@ -104,9 +104,13 @@ class PhysicsAttention3d(nn.Module):
         # N-contractions below are the only cross-token coupling: GSPMD
         # turns them into per-shard partials + an ICI psum; the G-token
         # attention itself is tiny and replicated
-        slice_norm = slice_weights.sum(axis=2)  # [B, h, G]
+        # f32 accumulator: at reference scale this sums ~160k bf16 values
+        # of ~1/G each — bf16 partial sums would lose the small increments
+        # once the total passes a few hundred (ulp > increment)
+        slice_norm = slice_weights.sum(axis=2, dtype=jnp.float32)  # [B, h, G]
         slice_token = jnp.einsum("bhnc,bhng->bhgc", fx_mid, slice_weights)
-        slice_token = slice_token / (slice_norm + 1e-5)[..., None]
+        slice_token = (slice_token / (slice_norm + 1e-5)[..., None]).astype(
+            self.dtype)
 
         q = nn.Dense(self.dim_head, use_bias=False, kernel_init=trunc_init,
                      name="to_q", dtype=self.dtype)(slice_token)

@@ -294,24 +294,13 @@ def run_validation(state, bundle, eval_fn, val_loader, c, rng,
     to every host with ``process_allgather`` before the (host-side, full-
     array) metric sweep.
     """
-    multi = jax.process_count() > 1
+    from realpdebench_tpu.core.mesh import (
+        allgather_to_host as _gather,
+    )
+    from realpdebench_tpu.core.mesh import assemble_from_process_local
 
     def _assemble(x):
-        if not multi:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        s = mesh_ctx.batch_sharding
-        spec = P(*(s.spec + (None,) * (x.ndim - len(s.spec))))
-        return jax.make_array_from_process_local_data(
-            NamedSharding(s.mesh, spec), x)
-
-    def _gather(a):
-        if not multi:
-            return np.asarray(a)
-        from jax.experimental import multihost_utils
-
-        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        return assemble_from_process_local(x, mesh_ctx)
 
     variables = {"params": state.params, **state.model_state}
     nmse_sum, n_batches = 0.0, 0

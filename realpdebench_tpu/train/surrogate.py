@@ -19,7 +19,11 @@ import jax
 import numpy as np
 
 from realpdebench_tpu.config import merge_config
-from realpdebench_tpu.core.mesh import make_mesh_context
+from realpdebench_tpu.core.mesh import (
+    allgather_to_host,
+    assemble_from_process_local,
+    make_mesh_context,
+)
 from realpdebench_tpu.core.prefetch import prefetch_to_device
 from realpdebench_tpu.data.loader import DataLoader, cycle_loader
 from realpdebench_tpu.data.normalizer import build_normalizer
@@ -94,7 +98,8 @@ def run_surrogate_training(cfg, exp_path):
     ckpt = CheckpointManager(os.path.join(exp_path, "ckpt"))
 
     batches = prefetch_to_device(cycle_loader(train_loader),
-                                 mesh_ctx.batch_sharding)
+                                 mesh_ctx.batch_sharding,
+                                 process_sharded=True)
     num_update = int(cfg.num_update)
     history = {"train_loss": [], "test": {k: [] for k in
                ("normalized_mse", "rmse", "mae", "rel_l2_error")}}
@@ -116,16 +121,19 @@ def run_surrogate_training(cfg, exp_path):
             nmse_sum, nb = 0.0, 0
             preds, targets = [], []
             for batch in test_loader:
-                bx, by = batch[0], batch[1]
-                # pad_last mask (GLOBAL-sized): drop padded tail rows
+                # multi-host: assemble the per-process slices into the
+                # global batch and gather predictions back before slicing
+                # with the GLOBAL pad mask (same pattern as run_validation)
+                bx = assemble_from_process_local(batch[0], mesh_ctx)
+                by = assemble_from_process_local(batch[1], mesh_ctx)
                 n_real = (int(batch[2].sum()) if len(batch) > 2
-                          else bx.shape[0])
+                          else batch[0].shape[0])
                 rng, k = jax.random.split(rng)
                 nmse, p, t = eval_fn(variables, bx, by, k)
                 nmse_sum += float(nmse)
                 nb += 1
-                preds.append(np.asarray(p)[:n_real])
-                targets.append(np.asarray(t)[:n_real])
+                preds.append(allgather_to_host(p)[:n_real])
+                targets.append(allgather_to_host(t)[:n_real])
             pred = np.concatenate(preds)
             target = np.concatenate(targets)
             rmse = float(np.sqrt(np.mean((pred - target) ** 2)))

@@ -174,3 +174,21 @@ def test_dp_mp_train_step_other_families(family):
     ctx = make_mesh_context("dp=4,mp=2")
     loss = _dryrun_one(ctx, family, _DRYRUN_FAMILIES[family])
     assert np.isfinite(loss)
+
+
+def test_mesh_helpers_single_process_noop():
+    """assemble_from_process_local / allgather_to_host (used by the train
+    and surrogate validation loops) must be exact no-ops on single-process
+    runs — multi-host is simulated at the DataLoader level above; these
+    helpers' process_count>1 branches mirror run_validation's former
+    closures verbatim."""
+    from realpdebench_tpu.core.mesh import (
+        allgather_to_host,
+        assemble_from_process_local,
+    )
+
+    ctx = make_mesh_context("dp=8,mp=1")
+    x = np.arange(24, dtype=np.float32).reshape(8, 3)
+    assert assemble_from_process_local(x, ctx) is x
+    got = allgather_to_host(jnp.asarray(x) * 2)
+    np.testing.assert_array_equal(got, x * 2)
