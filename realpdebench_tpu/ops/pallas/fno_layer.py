@@ -490,12 +490,14 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
     k2a_consts = (cst["IhPT"], cst["IwET"], cst["IwOT"], selE, selO)
     k12b_consts = (cst["EhPT"], cst["E67T"], cst["E67twT"], selET, selOT)
 
+    x_dtype = jnp.dtype(x_dtype_str)
+
     def _fwd_impl(x, a, b, w_real, w_imag, wp, bp):
         a2, b2 = _pack_affine(a, b, C)
         wp2 = _block_diag2(wp.astype(jnp.float32))
         bp2 = jnp.concatenate([bp, bp], axis=1).astype(jnp.float32)
         y = k1_call(x, a2, b2, *k1_consts)
-        g = mid_spectral(y, w_real, w_imag, B, Tp)
+        g = mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=x_dtype)
         s, stats = k2_call(g, x, a2, b2, wp2, bp2, *k2_consts)
         return (s, stats), y
 
@@ -518,7 +520,8 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
         # the XLA mid-section is linear in y and in the weights; its vjp
         # carries the spectral-weight gradients and maps dg back to dy
         _, mid_vjp = jax.vjp(
-            lambda y_, wr_, wi_: mid_spectral(y_, wr_, wi_, B, Tp),
+            lambda y_, wr_, wi_: mid_spectral(y_, wr_, wi_, B, Tp,
+                                              mid_dtype=x_dtype),
             y, w_real, w_imag)
         dy, dwr, dwi = mid_vjp(dg)
         dx, dwp2, dvec = k12b_call(x, a2, b2, wp2t, s, ds, ds1, ds2, dy,
@@ -546,16 +549,17 @@ def _t_consts(Tp: int, m1: int):
             np.ascontiguousarray(It.imag.astype(np.float32)))
 
 
-def mid_spectral(y, w_real, w_imag, B, Tp):
+def mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=None):
     """Packed spectra [BT, 2m2*m3, 2C] → T-DFT → corner-block channel mixing
     (fno.py:53-60 order) → inverse T → same packed shape.
 
     All tensors here are O(B·T·m2·m3·C) — a few MB; runs in plain XLA so
     autodiff produces the w_real/w_imag gradients.
 
-    ``REALPDEBENCH_FNO_MID=bf16`` (opt-in) runs the einsums with bf16
-    operands and f32 accumulation — halves the mid-section HBM traffic in
-    bf16 training mode at ~1e-3 relative output error."""
+    ``mid_dtype=bfloat16`` (the default when the fused layer itself runs
+    bf16) runs the einsums with bf16 operands and f32 accumulation —
+    halves the mid-section HBM traffic at ~1e-3 relative output error.
+    ``REALPDEBENCH_FNO_MID=bf16|f32`` overrides either way (A/B runs)."""
     import os
 
     _, Cin, Cout, m1, m2, m3 = w_real.shape
@@ -563,7 +567,10 @@ def mid_spectral(y, w_real, w_imag, B, Tp):
     C = C2 // 2
     EtR, EtI, ItR, ItI = (jnp.asarray(t) for t in _t_consts(Tp, m1))
 
-    if os.environ.get("REALPDEBENCH_FNO_MID") == "bf16":
+    env = os.environ.get("REALPDEBENCH_FNO_MID")
+    use_bf16 = (env == "bf16" if env
+                else mid_dtype == jnp.bfloat16)
+    if use_bf16:
         dt = jnp.bfloat16
         # this CPU thunk runtime cannot lower BF16xBF16=F32 dots
         pet = (None if jax.default_backend() == "cpu" else jnp.float32)
@@ -592,12 +599,14 @@ def mid_spectral(y, w_real, w_imag, B, Tp):
     # corner dims (b, 4, m1, m2, m3, cin) match the reference contraction
     # order directly (weights [4, Cin, Cout, m1, m2, m3], fno.py:53-60)
     eq = "bkxyzi,kioxyz->bkxyzo"
-    if os.environ.get("REALPDEBENCH_FNO_CORNER") == "block":
-        # 2x2 block-complex packing: (cr + i*ci)(wr + i*wi) as ONE real GEMM
-        # [cr | ci] . [[wr, wi], [-wi, wr]] = [outr | outi]. Per mode the
-        # batched GEMM becomes [B, 2Cin] x [2Cin, 2Cout] — full 128-lane
-        # K and N on the MXU and 4x fewer small batched-GEMM dispatches
-        # than the split real/imag form (M=B=8, K=N=64 per mode).
+    if os.environ.get("REALPDEBENCH_FNO_CORNER", "block") == "block":
+        # 2x2 block-complex packing (default): (cr + i*ci)(wr + i*wi) as ONE
+        # real GEMM [cr | ci] . [[wr, wi], [-wi, wr]] = [outr | outi]. Per
+        # mode the batched GEMM becomes [B, 2Cin] x [2Cin, 2Cout] — full
+        # 128-lane K and N on the MXU and 4x fewer small batched-GEMM
+        # dispatches than the split real/imag form (M=B=8, K=N=64 per
+        # mode, identical math). ``REALPDEBENCH_FNO_CORNER=split`` restores
+        # the split form (A/B runs).
         x2 = jnp.concatenate([cr, ci], axis=-1)
         top = jnp.concatenate([w_real, w_imag], axis=2)
         bot = jnp.concatenate([-w_imag, w_real], axis=2)

@@ -227,9 +227,9 @@ def test_mid_spectral_bf16_flag_close(monkeypatch):
 
 
 def test_mid_spectral_block_corner_parity(monkeypatch):
-    """REALPDEBENCH_FNO_CORNER=block packs the 4-corner complex mixing into
-    one 2x2 block-complex GEMM — same math as the split real/imag einsums
-    (float-rounding-level differences only), including gradients."""
+    """The default 2x2 block-complex corner GEMM is the same math as the
+    split real/imag einsums (REALPDEBENCH_FNO_CORNER=split) up to float
+    rounding, including gradients."""
     from realpdebench_tpu.ops.pallas.fno_layer import mid_spectral
 
     r = np.random.default_rng(7)
@@ -242,6 +242,7 @@ def test_mid_spectral_block_corner_parity(monkeypatch):
         out, vjp = jax.vjp(lambda *a: mid_spectral(*a, B, Tp), y, wr, wi)
         return (np.asarray(out), *(np.asarray(g) for g in vjp(ct)))
 
+    monkeypatch.setenv("REALPDEBENCH_FNO_CORNER", "split")
     want = run()
     monkeypatch.setenv("REALPDEBENCH_FNO_CORNER", "block")
     got = run()

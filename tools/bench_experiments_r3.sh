@@ -9,9 +9,10 @@ run() {
   env "$@" timeout 2400 python tools/model_bench.py "$MODEL" 2>&1 | grep '^{' >> $L
 }
 
-MODEL=fno      run REALPDEBENCH_FNO_MID=bf16
-MODEL=fno      run REALPDEBENCH_FNO_MID=bf16 REALPDEBENCH_FNO_CORNER=block
-MODEL=fno      run REALPDEBENCH_FNO_CORNER=block
+# defaults are now bf16-mid + block-corner; measure each opt-OUT for A/B
+MODEL=fno      run
+MODEL=fno      run REALPDEBENCH_FNO_MID=f32
+MODEL=fno      run REALPDEBENCH_FNO_CORNER=split
 MODEL=unet     run REALPDEBENCH_BENCH_ACCUM=2
 MODEL=unet     run REALPDEBENCH_TEMPORAL_ATTN=off   # kernel contribution A/B
 MODEL=cno      run REALPDEBENCH_BENCH_KW='{"remat":false}'
