@@ -47,7 +47,7 @@ MODELS = {
         # accum4 without block replay (0.351 -> 0.462 steps/s on chip)
         batch=12, accum=4),
     "cno": dict(
-        kw=dict(model_name="cno", N_layers=3, N_res=1, N_res_neck=6,
+        kw=dict(model_name="cno", N_layers=3, N_res=1, N_res_neck=8,
                 channel_multiplier=32, latent_lift_proj_dim=64,
                 activation="LeakyReLU", compute_dtype="bfloat16"),
         batch=16, accum=4),
@@ -57,17 +57,19 @@ MODELS = {
         batch=32, accum=4),
     "galerkin_transformer": dict(
         kw=dict(model_name="galerkin_transformer", n_hidden=256,
-                num_encoder_layers=4, n_head=4, dim_feedforward=256,
+                num_encoder_layers=1, n_head=4, dim_feedforward=256,
                 fourier_modes_x=16, fourier_modes_y=20, fourier_modes_t=4,
-                num_regressor_layers=2, freq_dim=128, encoder_dropout=0.05,
+                num_regressor_layers=1, freq_dim=128, encoder_dropout=0.05,
                 compute_dtype="bfloat16"),
-        batch=16, accum=8),  # f32 accum=4 peaks 16.3G on a 16G chip
+        batch=16, accum=4),  # cylinder yaml: 1 encoder + 1 regressor layer
     "transolver": dict(
         kw=dict(model_name="transolver", space_dim=3, n_layers=1,
                 n_hidden=256, n_head=8, H=128, W=64, D=20, fun_dim=0,
-                out_dim=3, ref=8, dropout=0.1, act="gelu", mlp_ratio=1,
+                out_dim=3, ref=4, dropout=0.1, act="gelu", mlp_ratio=4,
                 slice_num=16, compute_dtype="bfloat16"),
-        batch=16, accum=4),
+        # mlp_ratio 4 (cylinder yaml): the 1024-wide MLP over 164k tokens
+        # needs microbatch 2 to fit alongside params/opt state
+        batch=16, accum=8),
     "dpot": dict(
         kw=dict(model_name="dpot", img_size=128, in_channels=4,
                 out_channels=4, in_timesteps=20, out_timesteps=20,
