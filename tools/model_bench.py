@@ -158,12 +158,27 @@ def run_one(name: str, n_steps: int = 8) -> dict:
         _ = float(np.asarray(jax.device_get(loss)))
         rates.append(n_steps / (time.perf_counter() - t0))
     rates.sort()
+    # executed FLOPs per step from XLA's cost model (when the runtime
+    # exposes it) → MFU against the 197 TFLOP/s v5e bf16 peak, so each
+    # family's row is interpretable against the hardware ceiling
+    tflops_step, mfu = None, None
+    try:
+        ca = step.lower(state, x, y, key).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        if ca and float(ca.get("flops", 0)) > 0:
+            tflops_step = float(ca["flops"]) / 1e12
+            mfu = rates[1] * tflops_step * 1e12 / 197e12
+    except Exception:
+        pass
     return dict(
         model=name, batch=bs, grad_accum=accum,
         steps_per_sec=round(rates[1], 3),
         ms_per_step=round(1000.0 / rates[1], 1),
         compile_s=round(compile_s, 1), n_params=int(n_params),
         spread=round((rates[-1] - rates[0]) / rates[1], 3),
+        tflops_per_step=(round(tflops_step, 2) if tflops_step else None),
+        mfu=(round(mfu, 4) if mfu else None),
     )
 
 
@@ -204,18 +219,22 @@ def write_table(results):
         "documented in train/train_step.py). Median of 3 windows, loss-fetch",
         "barrier per window.",
         "",
-        "| model | batch | accum | steps/s/chip | ms/step | params | spread |",
-        "|---|---|---|---|---|---|---|",
+        "| model | batch | accum | steps/s/chip | ms/step | params | "
+        "TFLOP/step | MFU | spread |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in results:
         if "error" in r:
-            lines.append(f"| {r['model']} | - | - | ERROR | - | - | "
+            lines.append(f"| {r['model']} | - | - | ERROR | - | - | - | - | "
                          f"{r['error'][:80]} |")
         else:
+            tf = r.get("tflops_per_step")
+            mfu = r.get("mfu")
             lines.append(
                 f"| {r['model']} | {r['batch']} | {r['grad_accum']} | "
                 f"{r['steps_per_sec']} | {r['ms_per_step']} | "
-                f"{r['n_params']:,} | {r['spread']} |")
+                f"{r['n_params']:,} | {tf if tf else '-'} | "
+                f"{f'{mfu:.1%}' if mfu else '-'} | {r['spread']} |")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "MODEL_BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
