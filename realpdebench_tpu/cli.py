@@ -109,10 +109,15 @@ def build_parser() -> argparse.ArgumentParser:
                      "Train the combustion surrogate")
     _add_passthrough(subparsers, "convert", convert_main,
                      "Convert HDF5 trees to the Arrow V2 layout")
+    from realpdebench_tpu.interop.torch_export import main as export_main
+
+    _add_passthrough(subparsers, "export-torch", export_main,
+                     "Export an orbax checkpoint to a reference .pth")
     return parser
 
 
-_PASSTHROUGH = ("train", "eval", "parity", "train-surrogate", "convert")
+_PASSTHROUGH = ("train", "eval", "parity", "train-surrogate", "convert",
+                "export-torch")
 
 
 def main(argv: Optional[list] = None) -> None:
@@ -128,10 +133,13 @@ def main(argv: Optional[list] = None) -> None:
         from realpdebench_tpu.tools.convert_hdf5_to_hf import main as convert_main
         from realpdebench_tpu.train.surrogate import main as surrogate_main
 
+        from realpdebench_tpu.interop.torch_export import main as export_main
+
         target = {"train": train_main, "eval": eval_main,
                   "parity": parity_main,
                   "train-surrogate": surrogate_main,
-                  "convert": convert_main}[argv[0]]
+                  "convert": convert_main,
+                  "export-torch": export_main}[argv[0]]
         raise SystemExit(_run_module(target, argv[1:]))
     parser = build_parser()
     args = parser.parse_args(argv)
