@@ -230,6 +230,8 @@ class DPOTNet(nn.Module):
     act: str = "gelu"
     time_agg: str = "exp_mlp"
     compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize blocks (activation memory ~1 block;
+    # what lets the 673M-param DPOT-L config train on a 16 GB chip)
 
     @nn.compact
     def __call__(self, x):
@@ -297,8 +299,9 @@ class DPOTNet(nn.Module):
         if self.normalize:
             h = scale_sigma[:, None] * h + scale_mu[:, None]
 
+        block_cls = nn.remat(DPOTBlock) if self.remat else DPOTBlock
         for i in range(self.depth):
-            h = DPOTBlock(
+            h = block_cls(
                 self.embed_dim, self.n_blocks, self.modes, self.mlp_ratio,
                 self.act, dtype=self.compute_dtype, name=f"block_{i}",
             )(h)
@@ -357,6 +360,7 @@ class DPOT(nn.Module):
     time_agg: str = "exp_mlp"
     n_cls: int = 1
     compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         common = dict(
@@ -376,7 +380,8 @@ class DPOT(nn.Module):
             )
         elif self.model_type == "dpot":
             self.dpot_model = DPOTNet(
-                **common, compute_dtype=self.compute_dtype
+                **common, compute_dtype=self.compute_dtype,
+                remat=self.remat,
             )
         else:
             raise ValueError(f"Unknown model type: {self.model_type}")

@@ -235,6 +235,7 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             time_agg=kwargs.get("time_agg", "exp_mlp"),
             n_cls=int(kwargs.get("n_cls", 1)),
             compute_dtype=compute_dtype,
+            remat=bool(kwargs.get("remat", False)),
         )
         return ModelBundle(
             name="dpot", module=module, mutable=(), needs_train_flag=True,

@@ -84,10 +84,11 @@ MODELS = {
                 out_channels=4, in_timesteps=20, out_timesteps=20,
                 patch_size=8, embed_dim=1536, depth=24, n_blocks=16, modes=32,
                 mlp_ratio=4, out_layer_dim=1536, normalize=False, act="gelu",
-                time_agg="exp_mlp", n_cls=1, compute_dtype="bfloat16"),
+                time_agg="exp_mlp", n_cls=1, compute_dtype="bfloat16",
+                remat=True),
         # 673M params: f32 param+adam(m,v)+accum-grad state is ~10.8G; the
         # out_layer head materializes [B,20,64,128,1536] activations
-        # (~1 GB/sample bf16), so only microbatch 1 fits a 16G chip
+        # (~1 GB/sample bf16), so microbatch 1 + block remat on a 16G chip
         batch=16, accum=16),
     "wdno": dict(
         kw=dict(model_name="wdno", dim=256, dim_mults=[1, 2],
