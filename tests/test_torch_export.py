@@ -125,8 +125,7 @@ def test_export_fno_strict_load_forward_parity(tmp_path, rng):
     assert ckpt["iteration"] == 7
     tm = TorchFNO3d(modes1=2, modes2=3, modes3=3, n_layers=2, width=8,
                     shape_in=si, shape_out=so)
-    missing, unexpected = tm.load_state_dict(ckpt["model_state_dict"],
-                                             strict=True), None
+    tm.load_state_dict(ckpt["model_state_dict"], strict=True)
     tm.eval()
     with torch.no_grad():
         want = tm(torch.from_numpy(x)).numpy()
