@@ -168,6 +168,12 @@ def export_deeponet(params, model_state, bundle=None):
 def export_dpot(params, model_state, bundle=None):
     """Emits the reference *wrapper* checkpoint layout ('dpot_model.' prefix,
     dpot.py:336-346)."""
+    if bundle is not None and getattr(bundle.module, "model_type",
+                                      "dpot") == "dpot3d":
+        raise NotImplementedError(
+            "dpot3d is this framework's volumetric extension — the reference "
+            "has no working 3-D DPOT to load a .pth into (see models/dpot.py "
+            "docstring); use orbax checkpoints for dpot3d models")
     net = params["dpot_model"]
     sd = {}
     sd["pos_embed"] = np.ascontiguousarray(
