@@ -159,6 +159,32 @@ def run_one(name: str, n_steps: int = 8) -> dict:
         _ = float(np.asarray(jax.device_get(loss)))
         rates.append(n_steps / (time.perf_counter() - t0))
     rates.sort()
+
+    # optional rollout (serving-path) throughput: frames/s over the jitted
+    # N_autoregressive=10 scan at eval batch 8 (the headline bench's
+    # measured-best point) — REALPDEBENCH_BENCH_ROLLOUT=1 opts in (adds a
+    # second multi-minute compile per family through the tunnel)
+    rollout_fps = None
+    if os.environ.get("REALPDEBENCH_BENCH_ROLLOUT") == "1":
+        from realpdebench_tpu.eval.rollout import make_rollout_fn
+
+        n_auto, eb = 10, 8
+        ev = {"params": state.params, **state.model_state}
+        kx2, ky2, key = jax.random.split(key, 3)
+        xr = jax.jit(lambda k: jax.random.normal(
+            k, (eb, *SH), jnp.float32))(kx2)
+        yr = jax.jit(lambda k: jax.random.normal(
+            k, (eb, SH[0] * n_auto, *SH[1:]), jnp.float32))(ky2)
+        rollout = make_rollout_fn(bundle, IdentityNormalizer(), n_auto)
+        pred, _, _ = rollout(ev, xr, yr, key)
+        jax.block_until_ready(pred)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            pred, _, _ = rollout(ev, xr, yr, key)
+            xr = xr + 0.0 * pred[:, : SH[0]]  # chain (async runtimes)
+        _ = float(np.asarray(jax.device_get(pred[0, 0, 0, 0, 0])))
+        rollout_fps = eb * n_auto * SH[0] / ((time.perf_counter() - t0) / 3)
+
     # executed FLOPs per step from XLA's cost model (when the runtime
     # exposes it) → MFU against the 197 TFLOP/s v5e bf16 peak, so each
     # family's row is interpretable against the hardware ceiling
@@ -180,6 +206,8 @@ def run_one(name: str, n_steps: int = 8) -> dict:
         spread=round((rates[-1] - rates[0]) / rates[1], 3),
         tflops_per_step=(round(tflops_step, 2) if tflops_step else None),
         mfu=(round(mfu, 4) if mfu else None),
+        rollout_frames_per_sec=(round(rollout_fps, 1) if rollout_fps
+                                else None),
     )
 
 
