@@ -107,20 +107,21 @@ def main():
     n_stalled = len(window_rates) - len(stable)
     steps_per_sec_chip = steps_per_sec / n_chips
 
-    # MFU: executed FLOPs per step from XLA's cost model when the runtime
-    # exposes it, else the analytic fwd+bwd estimate from the docstring
-    # (~3.7 TFLOP: 4 truncated-DFT spectral layers + pointwise convs at
-    # bs32·(26,70,134)·w64, fwd + ~2x bwd). v5e-1 peak: 197 TFLOP/s bf16.
-    flops_per_step, flops_src = 3.7e12, "analytic"
+    # MFU: executed FLOPs per step measured by tools/model_bench.py --flops
+    # in a CPU subprocess (unfused build at grad_accum=1 — XLA cost analysis
+    # on the fused TPU program misses Pallas custom-call FLOPs and counts
+    # the accum scan body once, undercounting >20x). Fallback: the analytic
+    # fwd+bwd estimate. v5e-1 peak: 197 TFLOP/s bf16.
+    flops_per_step, flops_src = 2.7e12, "analytic"
     try:
-        ca = step.lower(state, xd, yd, key).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        if ca and float(ca.get("flops", 0)) > 0:
-            # cost analysis is per-program = one microbatch chain; the jit
-            # step runs the whole accumulation, so this is already per step
-            flops_per_step = float(ca["flops"])
-            flops_src = "xla_cost_analysis"
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.model_bench import fetch_flops
+
+        measured = fetch_flops("fno", timeout=900)
+        if measured:
+            flops_per_step, flops_src = measured, "xla_cpu_unfused"
     except Exception:
         pass
     peak_flops = 197e12 * n_chips

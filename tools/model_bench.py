@@ -185,30 +185,109 @@ def run_one(name: str, n_steps: int = 8) -> dict:
         _ = float(np.asarray(jax.device_get(pred[0, 0, 0, 0, 0])))
         rollout_fps = eb * n_auto * SH[0] / ((time.perf_counter() - t0) / 3)
 
-    # executed FLOPs per step from XLA's cost model (when the runtime
-    # exposes it) → MFU against the 197 TFLOP/s v5e bf16 peak, so each
-    # family's row is interpretable against the hardware ceiling
-    tflops_step, mfu = None, None
-    try:
-        ca = step.lower(state, x, y, key).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        if ca and float(ca.get("flops", 0)) > 0:
-            tflops_step = float(ca["flops"]) / 1e12
-            mfu = rates[1] * tflops_step * 1e12 / 197e12
-    except Exception:
-        pass
+    # FLOPs/MFU are NOT computed here: XLA cost_analysis on the fused TPU
+    # program (a) cannot see Pallas custom-call FLOPs and (b) counts the
+    # grad-accum `lax.scan` body once, not ×trip-count — both silently
+    # undercount (fno showed 0.16 TFLOP/step vs ~3.7 real). main() merges
+    # the true count from a CPU-side `--flops` subprocess instead.
     return dict(
         model=name, batch=bs, grad_accum=accum,
         steps_per_sec=round(rates[1], 3),
         ms_per_step=round(1000.0 / rates[1], 1),
         compile_s=round(compile_s, 1), n_params=int(n_params),
         spread=round((rates[-1] - rates[0]) / rates[1], 3),
-        tflops_per_step=(round(tflops_step, 2) if tflops_step else None),
-        mfu=(round(mfu, 4) if mfu else None),
         rollout_frames_per_sec=(round(rollout_fps, 1) if rollout_fps
                                 else None),
     )
+
+
+def run_flops(name: str) -> dict:
+    """Executed FLOPs for one family's full train step (all microbatches).
+
+    Method: build the UNFUSED (pure-XLA) variant of the same model at
+    grad_accum=1 (full batch in one pass — arithmetically the same work the
+    accumulated step executes, but visible to the cost model because there
+    is no scan to hide behind), lower it abstractly, and compile for CPU.
+    Pallas custom-calls are invisible to XLA's HloCostAnalysis and a scan
+    body is counted once regardless of trip count, so analysing the fused
+    TPU program undercounts by >20x for fno. Run under JAX_PLATFORMS=cpu.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # before any device query
+    import jax.numpy as jnp
+
+    from realpdebench_tpu.config import Config
+    from realpdebench_tpu.data.normalizer import IdentityNormalizer
+    from realpdebench_tpu.models.registry import build_model
+    from realpdebench_tpu.train.train_step import (
+        TrainState, build_optimizer, make_train_step,
+    )
+
+    spec = MODELS[name]
+    bs = spec["batch"]
+    kw = dict(spec["kw"])
+    if kw.get("model_name") in ("fno", "unet"):
+        kw["use_pallas"] = False  # count the work the Pallas kernels do
+    bundle = build_model(shapes=(SH, SH), **kw)
+    key = jax.random.PRNGKey(0)
+    x_abs = jax.ShapeDtypeStruct((bs, *SH), jnp.float32)
+    v_abs = jax.eval_shape(
+        bundle.init, key, jax.ShapeDtypeStruct((1, *SH), jnp.float32))
+    params_abs, ms_abs = bundle.split_variables(v_abs)
+    tx = build_optimizer(Config(lr=1e-4, scheduler="cosine", num_update=4000))
+    state_abs = jax.eval_shape(
+        lambda p, ms: TrainState.create(p, ms, tx), params_abs, ms_abs)
+    step = make_train_step(bundle, IdentityNormalizer(), grad_accum=1)
+    ca = step.lower(state_abs, x_abs, x_abs, key).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return dict(model=name, flops_per_step=float(ca.get("flops", 0.0)))
+
+
+def fetch_flops(name: str, timeout: int = 1800) -> float | None:
+    """Run the `--flops` pass in a CPU subprocess; None on any failure."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flops", name],
+            capture_output=True, text=True, timeout=timeout, env=env)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if line:
+            return float(json.loads(line[-1])["flops_per_step"]) or None
+    except Exception:
+        pass
+    return None
+
+
+def rewrite_from_log(path: str) -> None:
+    """Rebuild MODEL_BENCH.md from a sweep log's JSON lines (last record
+    per family wins), filling in tflops/mfu via the CPU `--flops` pass
+    where a record predates it — lets the table be corrected without
+    burning another full chip sweep."""
+    by_name = {}
+    with open(path) as f:
+        for ln in f:
+            ln = ln.strip()
+            if ln.startswith("{"):
+                try:
+                    r = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                if "model" in r:
+                    by_name[r["model"]] = r
+    results = []
+    for name in MODELS:
+        if name not in by_name:
+            continue
+        r = by_name[name]
+        if "error" not in r and not r.get("mfu"):
+            flops = fetch_flops(name)
+            if flops:
+                r["tflops_per_step"] = round(flops / 1e12, 2)
+                r["mfu"] = round(r["steps_per_sec"] * flops / 197e12, 4)
+        results.append(r)
+    write_table(results)
 
 
 def main():
@@ -231,6 +310,12 @@ def main():
                 res = dict(model=name, error=" | ".join(tail)[-300:])
         except subprocess.TimeoutExpired:
             res = dict(model=name, error="timeout")
+        if "error" not in res:
+            flops = fetch_flops(name)
+            if flops:
+                res["tflops_per_step"] = round(flops / 1e12, 2)
+                res["mfu"] = round(
+                    res["steps_per_sec"] * flops / 197e12, 4)
         results.append(res)
         print(json.dumps(res))
     if write_md:
@@ -273,5 +358,10 @@ if __name__ == "__main__":
     if "--one" in sys.argv:
         name = sys.argv[sys.argv.index("--one") + 1]
         print(json.dumps(run_one(name)))
+    elif "--flops" in sys.argv:
+        name = sys.argv[sys.argv.index("--flops") + 1]
+        print(json.dumps(run_flops(name)))
+    elif "--from-log" in sys.argv:
+        rewrite_from_log(sys.argv[sys.argv.index("--from-log") + 1])
     else:
         main()
