@@ -120,17 +120,91 @@ def probes():
     ]
 
 
+def _mk_aligned(body, n_consts, interpret=False):
+    """Same as _mk but blocks are the ALIGNED [Hp8*J8, 128] layout (the
+    Strategy-B candidate: rows pre-padded in HBM so the [72,72,128]
+    reshape is tile-aligned and needs no in-kernel repack)."""
+    R8 = Hp8 * J8
+
+    def kernel(x_ref, *refs):
+        o_ref = refs[-1]
+        consts = [r[:] for r in refs[:-1]]
+        xm = x_ref[0].astype(jnp.float32)          # [R8, 128]
+        _store(o_ref, body(xm, *consts))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(BT,),
+        in_specs=[pl.BlockSpec((1, R8, C2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_consts,
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BT, 8, 128), jnp.float32),
+        compiler_params=_PARAMS,
+        interpret=interpret,
+    )
+
+
+def probes_aligned():
+    e67x = jnp.asarray(np.random.randn(J8, 4 * m3).astype(np.float32))
+    ehp = jnp.asarray(np.random.randn(Hp8, 4 * m2).astype(np.float32))
+
+    def a_reshape(xm):                       # should be tile-aligned → free
+        return xm.reshape(Hp8, J8, C2)
+
+    def a_dot_w(xm, e):
+        return jax.lax.dot_general(
+            a_reshape(xm).astype(jnp.bfloat16), e.astype(jnp.bfloat16),
+            dimension_numbers=((((1,), (0,))), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def a_k1_core(xm, e, eh):                # full K1 spectral math, aligned
+        S = a_dot_w(xm, e)                   # [Hp8, C2, 4m3]
+        Xr = S[:, :C, 0:m3] + S[:, C:, 2 * m3:3 * m3]
+        Xi = S[:, :C, m3:2 * m3] + S[:, C:, 3 * m3:]
+        XrT = Xr.transpose(1, 2, 0).reshape(C * m3, Hp8)
+        XiT = Xi.transpose(1, 2, 0).reshape(C * m3, Hp8)
+        A = jax.lax.dot_general(
+            XrT.astype(jnp.bfloat16), eh.astype(jnp.bfloat16),
+            dimension_numbers=((((1,), (0,))), ((), ())),
+            preferred_element_type=jnp.float32)
+        Bm = jax.lax.dot_general(
+            XiT.astype(jnp.bfloat16), eh.astype(jnp.bfloat16),
+            dimension_numbers=((((1,), (0,))), ((), ())),
+            preferred_element_type=jnp.float32)
+        m2x2 = A.shape[1] // 2
+        yR = A[:, :m2x2] - Bm[:, m2x2:]
+        yI = A[:, m2x2:] + Bm[:, :m2x2]
+        yRp = yR.reshape(C, m3, m2x2).transpose(2, 1, 0).reshape(
+            m2x2 * m3, C)
+        yIp = yI.reshape(C, m3, m2x2).transpose(2, 1, 0).reshape(
+            m2x2 * m3, C)
+        return jnp.concatenate([yRp, yIp], axis=1)
+
+    return [
+        ("aligned_baseline", lambda xm: xm, ()),
+        ("aligned_reshape", a_reshape, ()),
+        ("aligned_dot_w", a_dot_w, (e67x,)),
+        ("aligned_k1_core", a_k1_core, (e67x, ehp)),
+    ]
+
+
 def main(n_iter: int = 30, interpret: bool = False):
     key = jax.random.PRNGKey(0)
     x = jax.jit(lambda k: (0.1 * jax.random.normal(
         k, (BT, R, C2), jnp.float32)).astype(jnp.bfloat16))(key)
+    x8 = jax.jit(lambda k: (0.1 * jax.random.normal(
+        k, (BT, Hp8 * J8, C2), jnp.float32)).astype(jnp.bfloat16))(key)
 
     results = {}
-    for name, body, consts in probes():
-        call = _mk(body, len(consts), interpret)
+    jobs = ([(n, b, c, _mk, x) for n, b, c in probes()]
+            + [(n, b, c, _mk_aligned, x8) for n, b, c in probes_aligned()])
+    for name, body, consts, mk, x0 in jobs:
+        call = mk(body, len(consts), interpret)
         f = jax.jit(lambda xi: xi + 0.0 * call(xi, *consts)[
             :1, :1, :1].astype(xi.dtype))
-        xi = f(x)
+        xi = f(x0)
         jax.block_until_ready(xi)
         t0 = time.perf_counter()
         for _ in range(n_iter):
@@ -139,11 +213,13 @@ def main(n_iter: int = 30, interpret: bool = False):
             jnp.sum(xi[0, 0, :8].astype(jnp.float32)))))
         dt = (time.perf_counter() - t0) / n_iter
         results[name] = dt
+        base = ("aligned_baseline" if name.startswith("aligned")
+                else "baseline")
         print(json.dumps({
             "probe": name, "ms_per_call": round(dt * 1e3, 3),
             "us_per_block": round(dt * 1e6 / BT, 2),
             "us_per_block_minus_baseline": round(
-                (dt - results.get("baseline", dt)) * 1e6 / BT, 2),
+                (dt - results.get(base, dt)) * 1e6 / BT, 2),
         }), flush=True)
 
 
