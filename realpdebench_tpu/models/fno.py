@@ -307,10 +307,18 @@ class FNO3d(nn.Module):
         xh = xg.reshape(B * T, H * J0, 2 * cin)
         xf = (jnp.einsum("rjc,cd->rjd", xh.astype(dt), bdiag(k0).astype(dt))
               + tile2(b0).astype(dt))
-        # --- end-pad (T, H, W) in flat space: lanes (=128) stay minor
+        # --- end-pad (T, H, W) in flat space: lanes (=128) stay minor.
+        # REALPDEBENCH_FNO_ALIGNED=1 additionally pads (H, J) rows up to
+        # multiples of 8 so every in-kernel reshape/reduce in the fused
+        # layers is Mosaic tile-aligned (Strategy B; see the relayout-probe
+        # notes in ops/pallas/fno_layer.py) at +10% activation HBM.
+        import os as _os
+        aligned = _os.environ.get("REALPDEBENCH_FNO_ALIGNED", "0") == "1"
+        Hr = -(-Hp // 8) * 8 if aligned else Hp
+        Jr = -(-Jp // 8) * 8 if aligned else Jp
         x4 = xf.reshape(B, T, H, J0, C2)
-        x4 = jnp.pad(x4, ((0, 0), (0, p), (0, p), (0, Jp - J0), (0, 0)))
-        xf = x4.reshape(B * Tp, Hp * Jp, C2)
+        x4 = jnp.pad(x4, ((0, 0), (0, p), (0, Hr - H), (0, Jr - J0), (0, 0)))
+        xf = x4.reshape(B * Tp, Hr * Jr, C2)
 
         # --- spectral stack
         n_pos = B * Tp * Hp * Wp
@@ -328,6 +336,7 @@ class FNO3d(nn.Module):
             s, stats128 = fused_fno_layer(
                 xf, a, b, w_real, w_imag, wp_k, bp_k[None],
                 dims=dims, act=act, interpret=self.pallas_interpret,
+                aligned=aligned,
             )
             ch = stats128[:, :C] + stats128[:, C:]
             batch_mean = ch[0] / n_pos
@@ -345,7 +354,7 @@ class FNO3d(nn.Module):
         b2 = jnp.concatenate([b, b], axis=1)[:, None, :]
 
         # --- tail: un-pad + fc1 + gelu + fc2 on packed lanes
-        z4 = xf.reshape(B, Tp, Hp, Jp, C2)[:, :T, :H, :J0]
+        z4 = xf.reshape(B, Tp, Hr, Jr, C2)[:, :T, :H, :J0]
         zt = (z4.reshape(B * T, H * J0, C2) * a2 + b2).astype(dt)
         k1_, b1_ = _DenseParams(128, C, name="fc1")()
         h1 = act_gelu(jnp.einsum("rjc,cd->rjd", zt, bdiag(k1_).astype(dt))

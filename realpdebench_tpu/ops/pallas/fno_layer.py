@@ -175,18 +175,26 @@ def _dot(a, b, contract, mxu=None):
 
 
 def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
-               y_ref, *, Hp, J, C2, m3, act, mxu):
+               y_ref, *, Hp, J, C2, m3, act, mxu, aligned):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
     xm = x_ref[0].astype(jnp.float32)              # [R, 128]
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
-    # 8-aligned zero-padding before every relayout/dot: misaligned sublane
-    # shapes (70, 67) fall off the Mosaic fast path (~1.3 ms per 600K-elem
-    # transpose); padded rows are zeros and the padded DFT matrices carry
-    # zero rows, so all contractions stay exact
-    z3 = jnp.pad(zm.reshape(Hp, J, C2),
-                 ((0, Hp8 - Hp), (0, J8 - J), (0, 0)))
+    if aligned:
+        # activations live pre-padded at [Hp8*J8, C2] in HBM: the reshape is
+        # tile-aligned and free. Padded rows hold garbage (act(b2) etc.) but
+        # every contraction below kills them: the W dot contracts j against
+        # E67X whose rows >= J are zero, and the H dot contracts h against
+        # EhP whose rows >= Hp are zero.
+        z3 = zm.reshape(Hp8, J8, C2)
+    else:
+        # 8-aligned zero-padding before every relayout/dot: misaligned
+        # sublane shapes (70, 67) fall off the Mosaic fast path (~1.3 ms per
+        # 600K-elem transpose); padded rows are zeros and the padded DFT
+        # matrices carry zero rows, so all contractions stay exact
+        z3 = jnp.pad(zm.reshape(Hp, J, C2),
+                     ((0, Hp8 - Hp), (0, J8 - J), (0, 0)))
     # Cooley–Tukey W stage: one dot over the pair axis j against
     # [E67 | E67·tw] — the parity twiddle is folded into the matrix, so
     # combining parities is slices+adds only (no VPU multiplies)
@@ -215,8 +223,8 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
 
 
 def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
-               ihp, iwe2, iwo2, selET, selOT,
-               s_ref, stats_ref, *, Hp, J, C2, m3, act, mxu):
+               ihp, iwe2, iwo2, selET, selOT, mask,
+               s_ref, stats_ref, *, Hp, J, C2, m3, act, mxu, aligned):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     i = pl.program_id(0)
     C = C2 // 2
@@ -241,10 +249,19 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
     ihC = jnp.concatenate([ihRT, ihIT], axis=2).reshape(Hp8 * C, 2 * m3)
     yE = dot(ihC, iwe2[:], (((1,), (0,))))        # [Hp8*C, J8]
     yO = dot(ihC, iwo2[:], (((1,), (0,))))
-    yEt = yE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
-        Hp * J, C)
-    yOt = yO.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
-        Hp * J, C)
+    if aligned:
+        # keep the aligned layout end-to-end: no slice, padded rows of the
+        # inverse DFTs are exactly zero (IhP/IwE2/IwO2 carry zero pad
+        # rows/cols), so only the pointwise branch writes garbage there
+        yEt = yE.reshape(Hp8, C, J8).transpose(0, 2, 1).reshape(
+            Hp8 * J8, C)
+        yOt = yO.reshape(Hp8, C, J8).transpose(0, 2, 1).reshape(
+            Hp8 * J8, C)
+    else:
+        yEt = yE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
+            Hp * J, C)
+        yOt = yO.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
+            Hp * J, C)
     # big lane concats cost ~8 us/block on this Mosaic (measured); selection
     # GEMMs against [I|0]/[0|I] run on the MXU at ~0.3 us instead
     y2 = dot(yEt, selET[:], (((1,), (0,)))) + dot(
@@ -257,9 +274,17 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
     zp = dot(zm, wp2_ref[:], (((1,), (0,))))      # [R, C2]
     s = y2 + zp + bp2_ref[:]
     s_ref[0] = s.astype(s_ref.dtype)
-    part = jnp.concatenate(
-        [jnp.sum(s, axis=0, keepdims=True),
-         jnp.sum(s * s, axis=0, keepdims=True)], axis=0)  # [2, 128]
+    if aligned:
+        # padded rows carry pointwise-branch garbage — mask them out of the
+        # BN statistics (one [R8,1]-broadcast multiply)
+        sm_ = s * mask[:]
+        part = jnp.concatenate(
+            [jnp.sum(sm_, axis=0, keepdims=True),
+             jnp.sum(sm_ * s, axis=0, keepdims=True)], axis=0)
+    else:
+        part = jnp.concatenate(
+            [jnp.sum(s, axis=0, keepdims=True),
+             jnp.sum(s * s, axis=0, keepdims=True)], axis=0)  # [2, 128]
 
     @pl.when(i == 0)
     def _():
@@ -275,7 +300,7 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
 
 def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
                 ihpt, iwet, iwot, selE, selO,
-                dg_ref, *, Hp, J, C2, m3, act, mxu):
+                dg_ref, *, Hp, J, C2, m3, act, mxu, aligned):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     C = C2 // 2
     sm = s_ref[0].astype(jnp.float32)              # [R, 128]
@@ -286,8 +311,15 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
     dyEf = dot(ds_eff, selE[:], (((1,), (0,))))   # [R, C]
     dyOf = dot(ds_eff, selO[:], (((1,), (0,))))
-    pad = lambda a: jnp.pad(a.reshape(Hp, J, C),
-                            ((0, Hp8 - Hp), (0, J8 - J), (0, 0)))
+    if aligned:
+        # no mask needed: padded-row garbage in ds_eff (the ds1/ds2
+        # broadcasts are nonzero everywhere) is annihilated downstream —
+        # j >= J rows contract against IwET/IwOT zero rows, h >= Hp columns
+        # against IhPT zero rows
+        pad = lambda a: a.reshape(Hp8, J8, C)
+    else:
+        pad = lambda a: jnp.pad(a.reshape(Hp, J, C),
+                                ((0, Hp8 - Hp), (0, J8 - J), (0, 0)))
     dyE = pad(dyEf).transpose(0, 2, 1).reshape(Hp8 * C, J8)
     dyO = pad(dyOf).transpose(0, 2, 1).reshape(Hp8 * C, J8)
     # adjoint inverse W: [re.T | im.T] packed, (Hp8, C) flattened into M
@@ -315,8 +347,9 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
 
 def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
                  ds1_ref, ds2_ref, dy_ref,
-                 ehpt, e67t, e67twt, selET, selOT,
-                 dx_ref, dwp2_ref, dvec_ref, *, Hp, J, C2, m3, act, mxu):
+                 ehpt, e67t, e67twt, selET, selOT, mask,
+                 dx_ref, dwp2_ref, dvec_ref, *, Hp, J, C2, m3, act, mxu,
+                 aligned):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     i = pl.program_id(0)
     C = C2 // 2
@@ -338,16 +371,28 @@ def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
     dXY = jnp.concatenate([dXr, dXi], axis=2).reshape(Hp8 * C, 2 * m3)
     dzE = dot(dXY, e67t[:], (((1,), (0,))))       # [Hp8*C, J8]
     dzO = dot(dXY, e67twt[:], (((1,), (0,))))
-    dzEt = dzE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
-        Hp * J, C)
-    dzOt = dzO.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
-        Hp * J, C)
+    if aligned:
+        # padded rows of dzE/dzO are exactly zero (EhPT/E67T/E67twT carry
+        # zero pad rows/cols) — keep the aligned layout, no slice
+        dzEt = dzE.reshape(Hp8, C, J8).transpose(0, 2, 1).reshape(
+            Hp8 * J8, C)
+        dzOt = dzO.reshape(Hp8, C, J8).transpose(0, 2, 1).reshape(
+            Hp8 * J8, C)
+    else:
+        dzEt = dzE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
+            Hp * J, C)
+        dzOt = dzO.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
+            Hp * J, C)
     dzW = dot(dzEt, selET[:], (((1,), (0,)))) + dot(
         dzOt, selOT[:], (((1,), (0,))))            # [R, C2]
     # --- pointwise branch: ds_eff (BN-stat chain) → dzP
     sm = s_ref[0].astype(jnp.float32)
     dsm = ds_ref[0].astype(jnp.float32)
     ds_eff = dsm + ds1_ref[:] + 2.0 * sm * ds2_ref[:]
+    if aligned:
+        # mask padded rows once: dzP, dwp2, and the dvec reductions below
+        # must not see the ds1/ds2 broadcast terms in alignment padding
+        ds_eff = ds_eff * mask[:]
     dzP = dot(ds_eff, wp2t_ref[:], (((1,), (0,))))  # [R, 128]
     # --- one combined activation-chain pass for BOTH consumers of z
     dz = dzW + dzP
@@ -412,14 +457,19 @@ def _block_diag2(w):
 
 @functools.lru_cache(maxsize=32)
 def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
-                 act: str, interpret: bool, x_dtype_str: str):
+                 act: str, interpret: bool, x_dtype_str: str,
+                 aligned: bool = False):
     """The four pallas_calls of one layer (K1, K2 forward; K2A, K12B
-    backward) for one static configuration."""
+    backward) for one static configuration. With ``aligned`` the
+    activation blocks are the pre-padded 8-aligned [Hp8*J8, C2] layout
+    (Strategy B from the mosaic relayout probe)."""
     x_dtype = jnp.dtype(x_dtype_str)
-    R, Y = Hp * J, 2 * m2 * m3
+    Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
+    R = Hp8 * J8 if aligned else Hp * J
+    Y = 2 * m2 * m3
     # bf16 MXU multiplies iff the layer IO is already bf16 (compute_dtype)
     mxu = jnp.bfloat16 if x_dtype == jnp.bfloat16 else None
-    kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, mxu=mxu)
+    kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, mxu=mxu, aligned=aligned)
     cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)
     k1 = pl.pallas_call(
         functools.partial(_k1_kernel, **kw),
@@ -433,7 +483,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
         functools.partial(_k2_kernel, **kw),
         grid=(BT,),
         in_specs=[_blk(Y, C2), _blk(R, C2), _full(), _full(), _full(),
-                  _full()] + [_full()] * 5,
+                  _full()] + [_full()] * 6,
         out_specs=(_blk(R, C2), _acc(2, C2)),
         out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
                    jax.ShapeDtypeStruct((2, C2), jnp.float32)),
@@ -453,7 +503,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
         grid=(BT,),
         in_specs=[_blk(R, C2), _full(), _full(), _full(),
                   _blk(R, C2), _blk(R, C2), _full(), _full(), _blk(Y, C2)]
-        + [_full()] * 5,
+        + [_full()] * 6,
         out_specs=(_blk(R, C2), _acc(C2, C2), _acc(3, C2)),
         out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
                    jax.ShapeDtypeStruct((C2, C2), jnp.float32),
@@ -466,7 +516,8 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
 @functools.lru_cache(maxsize=32)
 def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
                 m1: int, m2: int, m3: int,
-                act: str, interpret: bool, x_dtype_str: str):
+                act: str, interpret: bool, x_dtype_str: str,
+                aligned: bool = False):
     """One fused FNO layer as a single custom_vjp:
 
       fwd:  K1 → mid_spectral (XLA) → K2
@@ -478,17 +529,25 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
     # jnp.asarray here would capture a tracer from whichever jit trace ran
     # first and leak it into later traces
     k1_call, k2_call, k2a_call, k12b_call = _layer_calls(
-        BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str)
+        BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str, aligned)
     eyeC = np.eye(C, dtype=np.float32)
     zC = np.zeros((C, C), np.float32)
     selE = np.concatenate([eyeC, zC], axis=0)   # [2C, C]
     selO = np.concatenate([zC, eyeC], axis=0)
     selET = np.concatenate([eyeC, zC], axis=1)  # [C, 2C]
     selOT = np.concatenate([zC, eyeC], axis=1)
+    Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
+    if aligned:
+        rows = np.arange(Hp8 * J8)
+        mask = (((rows // J8) < Hp) & ((rows % J8) < J)).astype(
+            np.float32)[:, None]                # [R8, 1] row validity
+    else:
+        mask = np.ones((Hp * J, 1), np.float32)
     k1_consts = (cst["E67X"], cst["EhP"])
-    k2_consts = (cst["IhP"], cst["IwE2"], cst["IwO2"], selET, selOT)
+    k2_consts = (cst["IhP"], cst["IwE2"], cst["IwO2"], selET, selOT, mask)
     k2a_consts = (cst["IhPT"], cst["IwET"], cst["IwOT"], selE, selO)
-    k12b_consts = (cst["EhPT"], cst["E67T"], cst["E67twT"], selET, selOT)
+    k12b_consts = (cst["EhPT"], cst["E67T"], cst["E67twT"], selET, selOT,
+                   mask)
 
     x_dtype = jnp.dtype(x_dtype_str)
 
@@ -650,12 +709,15 @@ def unflatten_cw(x2, B, T, H, W, C):
 
 
 def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
-                    interpret=False):
+                    interpret=False, aligned=False):
     """One fused FNO layer on packed flat activations.
 
     Args:
       x: [B*Tp, Hp*(Wp//2), 2C] pre-BN activations of the previous layer
-        (flatten_cw layout).
+        (flatten_cw layout) — or, with ``aligned``, the 8-aligned
+        [B*Tp, Hp8*J8, 2C] layout (rows (h, j) with h >= Hp or j >= Wp//2
+        are alignment padding; the returned ``s`` keeps that layout and
+        the BN statistics exclude the padded rows).
       a, b: [1, C] BN affine folded from the previous layer (a=1, b=0 and
         act='none' for the first layer).
       w_real/w_imag: [4, C, C, m1, m2, m3] spectral corner weights.
@@ -669,7 +731,7 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
     B, Tp, Hp, Wp, C = dims
     m1, m2, m3 = w_real.shape[3], w_real.shape[4], w_real.shape[5]
     layer = _make_layer(B, Tp, Hp, Wp // 2, C, m1, m2, m3, act, interpret,
-                        str(x.dtype))
+                        str(x.dtype), aligned)
     return layer(x, a, b, w_real, w_imag, wp, bp)
 
 

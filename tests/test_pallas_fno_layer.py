@@ -249,3 +249,94 @@ def test_mid_spectral_block_corner_parity(monkeypatch):
     for w, g in zip(want, got):
         np.testing.assert_allclose(g, w, rtol=2e-5,
                                    atol=2e-5 * np.abs(w).max())
+
+
+# --- aligned (Strategy-B) layout: pre-padded [Hp8*J8, 2C] activations ------
+
+_J = Wp // 2
+_HP8, _J8 = -(-Hp // 8) * 8, -(-_J // 8) * 8
+
+
+def _to_aligned(x):
+    x4 = x.reshape(B * Tp, Hp, _J, 2 * C)
+    x4 = jnp.pad(x4, ((0, 0), (0, _HP8 - Hp), (0, _J8 - _J), (0, 0)))
+    return x4.reshape(B * Tp, _HP8 * _J8, 2 * C)
+
+
+def _from_aligned(s):
+    return s.reshape(B * Tp, _HP8, _J8, 2 * C)[:, :Hp, :_J].reshape(
+        B * Tp, Hp * _J, 2 * C)
+
+
+@pytest.mark.parametrize("act", ["none", "tanh"])
+def test_fused_layer_aligned_forward_parity(act):
+    """aligned=True keeps activations 8-aligned in HBM; valid rows and the
+    (mask-corrected) BN statistics must match the unaligned oracle."""
+    args = _inputs(seed=4)
+    s_al, stats_al = fused_fno_layer(
+        _to_aligned(args[0]), *args[1:], dims=DIMS, act=act,
+        interpret=True, aligned=True)
+    s_ref, stats_ref = reference_fused_fno_layer(*args, dims=DIMS, act=act)
+    np.testing.assert_allclose(np.asarray(_from_aligned(s_al)),
+                               np.asarray(s_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(_fold(stats_al)),
+                               np.asarray(_fold(stats_ref)),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_fused_layer_aligned_grad_parity():
+    """Gradients through the aligned layer (wrapped in the same pad/slice
+    the model applies) match the reference — exercises the ds_eff row mask
+    in K12B and the zero-row annihilation argument in K2A."""
+    args = _inputs(seed=5)
+
+    def loss(fn):
+        def run(*a):
+            s, stats = fn(*a)
+            ch = _fold(stats)
+            mean = ch[0] / NPOS
+            var = ch[1] / NPOS - mean**2
+            return jnp.sum(s * s) * 1e-3 + jnp.sum(var) + jnp.sum(mean**2)
+        return run
+
+    def aligned_layer(x, *rest):
+        s, stats = fused_fno_layer(_to_aligned(x), *rest, dims=DIMS,
+                                   act="tanh", interpret=True, aligned=True)
+        return _from_aligned(s), stats
+
+    gf = jax.grad(loss(aligned_layer), argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    gr = jax.grad(
+        loss(lambda *a: reference_fused_fno_layer(*a, dims=DIMS,
+                                                  act="tanh")),
+        argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    for n, f, r in zip(["x", "a", "b", "w_real", "w_imag", "wp", "bp"],
+                       gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(r), rtol=2e-3, atol=2e-3,
+            err_msg=f"grad mismatch for {n}")
+
+
+def test_fno3d_aligned_env_matches_unfused(monkeypatch):
+    """Full-module parity with REALPDEBENCH_FNO_ALIGNED=1: the env-gated
+    aligned layout must be output-invariant (train-mode forward + BN stats)
+    vs the unfused XLA path."""
+    from realpdebench_tpu.models.fno import FNO3d
+
+    monkeypatch.setenv("REALPDEBENCH_FNO_ALIGNED", "1")
+    r = np.random.default_rng(11)
+    shp_in, shp_out = (4, 10, 12, 3), (4, 10, 12, 3)
+    kw = dict(modes1=2, modes2=3, modes3=4, n_layers=2, width=8,
+              shape_in=shp_in, shape_out=shp_out, padding=2)
+    x = jnp.asarray(r.normal(size=(2, 4, 10, 12, 3)), jnp.float32)
+    mod_f = FNO3d(use_pallas=True, pallas_interpret=True, **kw)
+    mod_r = FNO3d(use_pallas=False, **kw)
+    v = mod_r.init(jax.random.PRNGKey(0), x, train=True)
+    yf, mf = mod_f.apply(v, x, train=True, mutable=["batch_stats"])
+    yr, mr = mod_r.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yr),
+                               rtol=2e-3, atol=2e-3)
+    for (ka, a_), (kb, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(mf),
+            jax.tree_util.tree_leaves_with_path(mr)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3, err_msg=str(ka))
