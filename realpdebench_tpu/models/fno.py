@@ -308,12 +308,14 @@ class FNO3d(nn.Module):
         xf = (jnp.einsum("rjc,cd->rjd", xh.astype(dt), bdiag(k0).astype(dt))
               + tile2(b0).astype(dt))
         # --- end-pad (T, H, W) in flat space: lanes (=128) stay minor.
-        # REALPDEBENCH_FNO_ALIGNED=1 additionally pads (H, J) rows up to
-        # multiples of 8 so every in-kernel reshape/reduce in the fused
-        # layers is Mosaic tile-aligned (Strategy B; see the relayout-probe
-        # notes in ops/pallas/fno_layer.py) at +10% activation HBM.
+        # By default (Strategy B) the (H, J) rows are additionally padded up
+        # to multiples of 8 so every in-kernel reshape/reduce in the fused
+        # layers is Mosaic tile-aligned (see the relayout-probe notes in
+        # ops/pallas/fno_layer.py) at +10% activation HBM; measured on v5e
+        # it takes the reference-scale train step 415 -> 278 ms (+49%
+        # steps/s). REALPDEBENCH_FNO_ALIGNED=0 opts out.
         import os as _os
-        aligned = _os.environ.get("REALPDEBENCH_FNO_ALIGNED", "0") == "1"
+        aligned = _os.environ.get("REALPDEBENCH_FNO_ALIGNED", "1") == "1"
         Hr = -(-Hp // 8) * 8 if aligned else Hp
         Jr = -(-Jp // 8) * 8 if aligned else Jp
         x4 = xf.reshape(B, T, H, J0, C2)
