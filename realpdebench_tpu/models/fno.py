@@ -314,8 +314,8 @@ class FNO3d(nn.Module):
         # ops/pallas/fno_layer.py) at +10% activation HBM; measured on v5e
         # it takes the reference-scale train step 415 -> 278 ms (+49%
         # steps/s). REALPDEBENCH_FNO_ALIGNED=0 opts out.
-        import os as _os
-        aligned = _os.environ.get("REALPDEBENCH_FNO_ALIGNED", "1") == "1"
+        from realpdebench_tpu.utils.misc import env_flag
+        aligned = env_flag("REALPDEBENCH_FNO_ALIGNED", default=True)
         Hr = -(-Hp // 8) * 8 if aligned else Hp
         Jr = -(-Jp // 8) * 8 if aligned else Jp
         x4 = xf.reshape(B, T, H, J0, C2)

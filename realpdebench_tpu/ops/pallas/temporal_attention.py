@@ -203,7 +203,8 @@ def supported(S: int) -> bool:
     comparisons on hardware)."""
     import os
 
-    if os.environ.get("REALPDEBENCH_TEMPORAL_ATTN") == "off":
+    raw = os.environ.get("REALPDEBENCH_TEMPORAL_ATTN")
+    if raw is not None and raw.lower() in ("off", "0", "false", "no"):
         return False
     if S % _R != 0:
         return False

@@ -15,6 +15,27 @@ import random as _py_random
 import numpy as np
 
 
+def env_flag(name: str, default: bool = False) -> bool:
+    """Boolean env-var switch with forgiving parsing.
+
+    Only explicit falsy spellings ("0", "false", "no", "off", "") opt out;
+    explicit truthy spellings ("1", "true", "yes", "on") opt in; anything
+    else logs a warning and keeps the default, so a typo like
+    ``REALPDEBENCH_FNO_ALIGNED=ture`` cannot silently drop a default-on
+    perf lever (advisor finding, round 3)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    v = raw.strip().lower()
+    if v in ("0", "false", "no", "off", ""):
+        return False
+    if v in ("1", "true", "yes", "on"):
+        return True
+    logging.warning("env %s=%r not understood; keeping default %s",
+                    name, raw, default)
+    return default
+
+
 def set_seed(seed: int):
     """Pin host-side RNGs. Device-side randomness uses jax.random keys derived
     from the same seed (see train/loop.py)."""
