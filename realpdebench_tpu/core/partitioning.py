@@ -51,13 +51,18 @@ def param_shardings(params, mesh_ctx: MeshContext):
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def shard_train_state(state, mesh_ctx: MeshContext):
-    """Place a TrainState: params (and matching Adam moments) per the rules,
-    everything else replicated."""
+def train_state_shardings(state, mesh_ctx: MeshContext):
+    """NamedSharding pytree matching a TrainState (concrete or abstract):
+    params (and the Adam moments that mirror the param tree) per the rules,
+    everything else replicated. Usable both for ``jax.device_put`` placement
+    and for attaching shardings to ``ShapeDtypeStruct``s in AOT lowering
+    (tests/test_multichip_lowering.py)."""
     p_shard = param_shardings(state.params, mesh_ctx)
-    params = jax.device_put(state.params, p_shard)
 
-    def put_opt(node):
+    def repl_like(node):
+        return jax.tree_util.tree_map(lambda _: mesh_ctx.replicated, node)
+
+    def opt_shard(node):
         # optax adam state mirrors the param tree (mu/nu); shard those the
         # same way, replicate scalars/schedules
         try:
@@ -67,25 +72,29 @@ def shard_train_state(state, mesh_ctx: MeshContext):
             )
         except Exception:
             same_tree = False
-        if same_tree:
-            return jax.device_put(node, p_shard)
-        return jax.device_put(node, mesh_ctx.replicated)
+        return p_shard if same_tree else repl_like(node)
 
     if hasattr(state.opt_state, "__len__"):
         opt_state = tuple(
-            type(s)(*[put_opt(getattr(s, f)) for f in s._fields])
-            if hasattr(s, "_fields") else jax.device_put(s, mesh_ctx.replicated)
+            type(s)(*[opt_shard(getattr(s, f)) for f in s._fields])
+            if hasattr(s, "_fields") else repl_like(s)
             for s in state.opt_state
         )
     else:
-        opt_state = jax.device_put(state.opt_state, mesh_ctx.replicated)
+        opt_state = repl_like(state.opt_state)
 
     return state.replace(
-        params=params,
-        model_state=jax.device_put(state.model_state, mesh_ctx.replicated),
+        params=p_shard,
+        model_state=repl_like(state.model_state),
         opt_state=opt_state,
-        step=jax.device_put(state.step, mesh_ctx.replicated),
+        step=mesh_ctx.replicated,
     )
+
+
+def shard_train_state(state, mesh_ctx: MeshContext):
+    """Place a TrainState per ``train_state_shardings``."""
+    sh = train_state_shardings(state, mesh_ctx)
+    return jax.tree_util.tree_map(jax.device_put, state, sh)
 
 
 def token_constraint(x, mesh, token_axis: int = 1):
