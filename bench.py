@@ -127,6 +127,55 @@ def main():
     peak_flops = 197e12 * n_chips
     mfu = steps_per_sec * flops_per_step / peak_flops
 
+    # --- dp=8 proxy (VERDICT r3 item 3): one chip running microbatch 4 at
+    # grad_accum=1 is exactly the per-chip workload of dp=8 at global bs32.
+    # projected_v5e8 = 1 / (per-chip step time + estimated ring-allreduce
+    # time for the f32 grads over ICI), i.e. compute/psum NOT overlapped —
+    # a conservative projection. ICI assumption: one 2x4 v5e slice,
+    # ~90 GB/s usable per chip (2 links x ~45 GB/s); ring all-reduce moves
+    # 2*(N-1)/N * grad_bytes per chip. BENCH_DP8_PROXY=0 skips (one extra
+    # multi-minute compile through the tunnel).
+    dp8 = {}
+    if os.environ.get("BENCH_DP8_PROXY", "1") != "0" and n_chips == 1:
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(params))
+        k4x, k4y, key = jax.random.split(key, 3)
+        x4 = jax.jit(lambda k: jax.random.normal(
+            k, (4, *SHAPE_IN), jnp.float32))(k4x)
+        y4 = jax.jit(lambda k: jax.random.normal(
+            k, (4, *SHAPE_OUT), jnp.float32))(k4y)
+        v4 = bundle.init(jax.random.PRNGKey(0), x)
+        p4, ms4 = bundle.split_variables(v4)
+        state4 = TrainState.create(p4, ms4, build_optimizer(cfg))
+        step4 = make_train_step(bundle, IdentityNormalizer(), grad_accum=1)
+        state4, l4 = step4(state4, x4, y4, key)
+        jax.block_until_ready(l4)
+        rates4 = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(20):
+                key, k = jax.random.split(key)
+                state4, l4 = step4(state4, x4, y4, k)
+            _ = float(np.asarray(jax.device_get(l4)))
+            rates4.append(20 / (time.perf_counter() - t0))
+        rates4.sort()
+        r4 = rates4[1]
+        grad_bytes = n_params * 4
+        ici_gbps = 90e9
+        t_psum = 2 * (8 - 1) / 8 * grad_bytes / ici_gbps
+        projected = 1.0 / (1.0 / r4 + t_psum)
+        dp8 = {
+            "dp8_proxy_bs4_steps_per_sec": round(r4, 3),
+            "projected_v5e8_steps_per_sec": round(projected, 3),
+            "projected_v5e8_vs_baseline": round(
+                projected / A100_REFERENCE_STEPS_PER_SEC, 3),
+            "ici_assumption": "2x4 v5e, 90 GB/s/chip ring allreduce, "
+                              "no compute overlap",
+            "psum_ms_estimate": round(t_psum * 1e3, 2),
+        }
+        del state4, x4, y4
+        key, _ = jax.random.split(key)
+
     # rollout frames/sec (eval path, device-synthesized batch); free the
     # training buffers first — opt state + donated batches otherwise sit in
     # HBM alongside the rollout activations
@@ -171,6 +220,7 @@ def main():
         "mfu": round(mfu, 4),
         "flops_per_step": flops_per_step,
         "flops_model": flops_src,
+        **dp8,
     }
     print(json.dumps(result))
 
