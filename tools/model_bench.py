@@ -324,8 +324,22 @@ def main():
 
 
 def write_table(results):
+    # stamp provenance so the record cannot silently rot (VERDICT r3 item 9):
+    # the sweep date + code revision are part of the committed table
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))).stdout.strip() or "unknown"
+    except Exception:
+        rev = "unknown"
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     lines = [
         "# MODEL_BENCH — train steps/s/chip at reference cylinder scale",
+        "",
+        f"Generated {stamp} at commit {rev} by `tools/model_bench.py "
+        "--write-md` (regenerate with the same command; `--from-log` "
+        "rebuilds from a sweep log).",
         "",
         "Measured by `tools/model_bench.py` on one TPU v5e chip; device-",
         "synthesized batches; batch sizes from `configs/cylinder/*.yaml`;",
