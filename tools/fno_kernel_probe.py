@@ -84,21 +84,31 @@ def consts(aligned: bool):
     )
 
 
-def time_one(name, fn, feed, n_iter):
-    """fn(feed) -> scalar-ish output; chain via feed = feed + 0*out."""
-    f = jax.jit(lambda xi: xi + (0.0 * fn(xi)).astype(xi.dtype))
-    xi = f(feed)
+def time_one(name, fn, feed, others, n_iter):
+    """fn(feed, others) -> scalar; chain via feed = feed + 0*out.
+
+    ``others`` (big device arrays) are passed as explicit jit ARGUMENTS —
+    closure-captured arrays inline as HLO constants and blow the remote
+    compiler's request limit (NOTES.md gotcha 6). Median of 3 windows:
+    single windows can be skewed 2x+ by remote-service stalls."""
+    f = jax.jit(lambda xi, o: xi + (0.0 * fn(xi, o)).astype(xi.dtype))
+    xi = f(feed, others)
     jax.block_until_ready(xi)
-    xi = f(xi)  # one more to settle caches
+    xi = f(xi, others)  # one more to settle caches
     _ = jax.device_get(jnp.sum(xi[(0,) * (xi.ndim - 1)]))
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        xi = f(xi)
-    _ = float(np.asarray(jax.device_get(
-        jnp.sum(xi[(0,) * (xi.ndim - 1)].astype(jnp.float32)))))
-    dt = (time.perf_counter() - t0) / n_iter
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            xi = f(xi, others)
+        _ = float(np.asarray(jax.device_get(
+            jnp.sum(xi[(0,) * (xi.ndim - 1)].astype(jnp.float32)))))
+        rates.append((time.perf_counter() - t0) / n_iter)
+    rates.sort()
+    dt = rates[1]
     print(json.dumps({
         "probe": name, "ms_per_call": round(dt * 1e3, 3),
+        "window_ms": [round(r * 1e3, 3) for r in rates],
         "ms_per_step_16sites": round(dt * 1e3 * 16, 1),
     }), flush=True)
     return dt
@@ -117,33 +127,34 @@ def main(n_iter=30, aligned=True, dtype=jnp.bfloat16):
 
     rows = {}
     rows["k1"] = time_one(
-        "K1 fwd (x->y)", lambda xi: first(
-            k1(xi, v["a2"], v["b2"], *cs["k1"])), v["x"], n_iter)
+        "K1 fwd (x->y)", lambda xi, o: first(
+            k1(xi, o["a2"], o["b2"], *cs["k1"])), v["x"], v, n_iter)
     rows["k2"] = time_one(
-        "K2 fwd (g,x->s,stats)", lambda xi: first(
-            k2(v["g"], xi, v["a2"], v["b2"], v["wp2"], v["bp2"],
-               *cs["k2"])), v["x"], n_iter)
+        "K2 fwd (g,x->s,stats)", lambda xi, o: first(
+            k2(o["g"], xi, o["a2"], o["b2"], o["wp2"], o["bp2"],
+               *cs["k2"])), v["x"], v, n_iter)
     rows["k2a"] = time_one(
-        "K2A bwd (s,ds->dg)", lambda xi: first(
-            k2a(xi, v["ds"], v["ds1"], v["ds2"], *cs["k2a"])),
-        v["s"], n_iter)
+        "K2A bwd (s,ds->dg)", lambda xi, o: first(
+            k2a(xi, o["ds"], o["ds1"], o["ds2"], *cs["k2a"])),
+        v["s"], v, n_iter)
     rows["k12b"] = time_one(
-        "K12B bwd (x,s,ds,dy->dx,dw)", lambda xi: first(
-            k12b(xi, v["a2"], v["b2"], v["wp2"], v["s"], v["ds"],
-                 v["ds1"], v["ds2"], v["dy"], *cs["k12b"])),
-        v["x"], n_iter)
+        "K12B bwd (x,s,ds,dy->dx,dw)", lambda xi, o: first(
+            k12b(xi, o["a2"], o["b2"], o["wp2"], o["s"], o["ds"],
+                 o["ds1"], o["ds2"], o["dy"], *cs["k12b"])),
+        v["x"], v, n_iter)
 
     mid = functools.partial(F.mid_spectral, B=B, Tp=Tp, mid_dtype=dtype)
     rows["mid_fwd"] = time_one(
-        "mid_spectral fwd", lambda yi: jnp.sum(
-            mid(yi, v["wr"], v["wi"])[:1, :1, :1]), v["y"], n_iter)
+        "mid_spectral fwd", lambda yi, o: jnp.sum(
+            mid(yi, o["wr"], o["wi"])[:1, :1, :1]), v["y"], v, n_iter)
 
-    def mid_vjp(dyi):
+    def mid_vjp(dyi, o):
         _, vjp = jax.vjp(lambda y_, wr_, wi_: mid(y_, wr_, wi_),
-                         v["y"], v["wr"], v["wi"])
+                         o["y"], o["wr"], o["wi"])
         dy_, dwr, dwi = vjp(dyi)
         return jnp.sum(dy_[:1, :1, :1]) + jnp.sum(dwr[:1, :1, :1, :1, :1])
-    rows["mid_vjp"] = time_one("mid_spectral vjp", mid_vjp, v["dy"], n_iter)
+    rows["mid_vjp"] = time_one("mid_spectral vjp", mid_vjp, v["dy"], v,
+                               n_iter)
 
     per_layer = sum(rows.values())
     print(json.dumps({
