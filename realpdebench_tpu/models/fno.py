@@ -351,16 +351,19 @@ class FNO3d(nn.Module):
             b = (bias - mean * a[0])[None]
             xf = s
             act = act_variant
-        # final BN affine (no GELU after the last layer, fno.py:121-129)
-        a2 = jnp.concatenate([a, a], axis=1)[:, None, :]
-        b2 = jnp.concatenate([b, b], axis=1)[:, None, :]
-
-        # --- tail: un-pad + fc1 + gelu + fc2 on packed lanes
+        # --- tail: un-pad + fc1 + gelu + fc2 on packed lanes.
+        # The final BN affine (no GELU after the last layer, fno.py:121-129)
+        # is FOLDED into fc1's weights: (z*a + b) @ K = z @ (a⊙K) + b@K, so
+        # the 276 MB activation never takes a separate affine pass (the
+        # round-4 trace showed that pass materializing in f32 — ~5 ms/step
+        # of pure glue). The fold happens on the [C, 128] weight in f32.
         z4 = xf.reshape(B, Tp, Hr, Jr, C2)[:, :T, :H, :J0]
-        zt = (z4.reshape(B * T, H * J0, C2) * a2 + b2).astype(dt)
+        zt = z4.reshape(B * T, H * J0, C2).astype(dt)
         k1_, b1_ = _DenseParams(128, C, name="fc1")()
-        h1 = act_gelu(jnp.einsum("rjc,cd->rjd", zt, bdiag(k1_).astype(dt))
-                      + tile2(b1_).astype(dt))
+        k1f = k1_ * a[0][:, None]
+        b1f = b1_ + b[0] @ k1_
+        h1 = act_gelu(jnp.einsum("rjc,cd->rjd", zt, bdiag(k1f).astype(dt))
+                      + tile2(b1f).astype(dt))
         k2_, b2_ = _DenseParams(out_features, 128, name="fc2")()
         o2 = (jnp.einsum("rjc,cd->rjd", h1, bdiag(k2_).astype(dt))
               + tile2(b2_).astype(dt))

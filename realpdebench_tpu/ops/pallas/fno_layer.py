@@ -214,7 +214,8 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
     # pack → sublanes (j2, m), lanes (ri, c)
     yRp = yR.reshape(C, m3, m2x2).transpose(2, 1, 0).reshape(m2x2 * m3, C)
     yIp = yI.reshape(C, m3, m2x2).transpose(2, 1, 0).reshape(m2x2 * m3, C)
-    y_ref[0] = jnp.concatenate([yRp, yIp], axis=1)  # [2m2*m3, 2C]
+    y_ref[0] = jnp.concatenate([yRp, yIp], axis=1).astype(
+        y_ref.dtype)                                # [2m2*m3, 2C]
 
 
 # ---------------------------------------------------------------------------
@@ -337,7 +338,7 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
     dgI3 = (Bm[:, :m2x2] - A[:, m2x2:]).reshape(m3, C, m2x2)
     dgR = dgR3.transpose(2, 0, 1).reshape(m2x2 * m3, C)
     dgI = dgI3.transpose(2, 0, 1).reshape(m2x2 * m3, C)
-    dg_ref[0] = jnp.concatenate([dgR, dgI], axis=1)
+    dg_ref[0] = jnp.concatenate([dgR, dgI], axis=1).astype(dg_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -469,6 +470,10 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
     Y = 2 * m2 * m3
     # bf16 MXU multiplies iff the layer IO is already bf16 (compute_dtype)
     mxu = jnp.bfloat16 if x_dtype == jnp.bfloat16 else None
+    # packed spectra (y, dg) cross the kernel↔mid boundary at the layer's
+    # compute dtype: bf16 halves those HBM passes (the mid already runs
+    # bf16 einsums in that regime); f32 layers keep f32 spectra bit-stable
+    spec_dtype = x_dtype if mxu is not None else jnp.float32
     kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, mxu=mxu, aligned=aligned)
     cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)
     k1 = pl.pallas_call(
@@ -476,7 +481,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
         grid=(BT,),
         in_specs=[_blk(R, C2), _full(), _full()] + [_full()] * 2,
         out_specs=_blk(Y, C2),
-        out_shape=jax.ShapeDtypeStruct((BT, Y, C2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BT, Y, C2), spec_dtype),
         **cp,
     )
     k2 = pl.pallas_call(
@@ -495,7 +500,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
         in_specs=[_blk(R, C2), _blk(R, C2), _full(), _full()]
         + [_full()] * 5,
         out_specs=_blk(Y, C2),
-        out_shape=jax.ShapeDtypeStruct((BT, Y, C2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BT, Y, C2), spec_dtype),
         **cp,
     )
     k12b = pl.pallas_call(
@@ -608,6 +613,89 @@ def _t_consts(Tp: int, m1: int):
             np.ascontiguousarray(It.imag.astype(np.float32)))
 
 
+def _mid_einsum(mid_dtype):
+    """Select the mid-section einsum flavor: bf16 operands + f32 accumulation
+    when the fused layer itself runs bf16 (halves HBM traffic, ~1e-3 rel
+    err), plain f32 otherwise. ``REALPDEBENCH_FNO_MID=bf16|f32`` overrides
+    either way (A/B runs)."""
+    import os
+
+    env = os.environ.get("REALPDEBENCH_FNO_MID")
+    use_bf16 = (env == "bf16" if env in ("bf16", "f32")
+                else mid_dtype == jnp.bfloat16)
+    if not use_bf16:
+        return jnp.einsum, False
+    dt = jnp.bfloat16
+    # this CPU thunk runtime cannot lower BF16xBF16=F32 dots
+    pet = (None if jax.default_backend() == "cpu" else jnp.float32)
+    _es = jnp.einsum
+
+    def jnp_einsum(eq_, a, b):
+        return _es(eq_, a.astype(dt), b.astype(dt),
+                   preferred_element_type=pet).astype(jnp.float32)
+
+    return jnp_einsum, True
+
+
+def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum):
+    """Packed-lane mid-section: the [re*C | im*C] lane packing of the
+    spectra is kept END TO END, so the 128-lane dim is never split.
+
+    The round-4 trace showed the original split-lane form's
+    ``reshape(..., 2, C)`` forces T(2,128) layout copies of every spectrum
+    tensor (8 copies + assorted bitcast fusions ≈ 12 ms/step at headline
+    scale). Here complex arithmetic rides the lane packing instead:
+
+      * a T-stage complex multiply (E_R + i·E_I)·(y_r + i·y_i) is two
+        t-contractions on full-lane tensors — ``einsum(y, E_R) +
+        einsum(y@S, E_I)`` where ``S = [[0, I], [-I, 0]]`` maps lanes
+        [yr | yi] ↦ [-yi | yr] as ONE 128x128 MXU pass (the kernels use
+        the same selection-GEMM trick; lane slices are relayouts, dots
+        are not);
+      * the corner mixing consumes the packed lanes DIRECTLY: the 2x2
+        block-complex weight ``[[wr, wi], [-wi, wr]]`` contracts
+        [re | im] input lanes to [re | im] output lanes — the split
+        form's concat/split around the corner GEMM disappears.
+
+    Identical math to the split-lane form (pure reordering)."""
+    _, Cin, Cout, m1, m2, m3 = w_real.shape
+    BT, Y, C2 = y.shape
+    C = C2 // 2
+    EtR, EtI, ItR, ItI = (jnp.asarray(t) for t in _t_consts(Tp, m1))
+    eyeC = np.eye(C, dtype=np.float32)
+    zC = np.zeros((C, C), np.float32)
+    # [yr | yi] @ S = [-yi | yr]
+    S = jnp.asarray(np.block([[zC, eyeC], [-eyeC, zC]]))
+
+    y4 = y.reshape(B, Tp, Y, C2)
+    ySw = jnp_einsum("btyl,lm->btym", y4, S)
+    # forward T-DFT: zr = Et_R yr - Et_I yi ; zi = Et_I yr + Et_R yi
+    #   = einsum(y, EtR) + einsum([-yi | yr], EtI), lane-packed
+    z = (jnp_einsum("btyl,tk->bkyl", y4, EtR)
+         + jnp_einsum("btyl,tk->bkyl", ySw, EtI))   # [B, 2m1, Y, C2]
+    z5 = z.reshape(B, 2 * m1, 2 * m2, m3, C2)
+
+    x2 = jnp.stack(
+        [z5[:, :m1, :m2], z5[:, m1:, :m2], z5[:, :m1, m2:], z5[:, m1:, m2:]],
+        axis=1)                                     # [B, 4, m1, m2, m3, 2C]
+    top = jnp.concatenate([w_real, w_imag], axis=2)
+    bot = jnp.concatenate([-w_imag, w_real], axis=2)
+    w2 = jnp.concatenate([top, bot], axis=1)        # [4, 2Ci, 2Co, m.]
+    out2 = jnp_einsum("bkxyzi,kioxyz->bkxyzo", x2, w2)
+
+    gtop = jnp.concatenate([out2[:, 0], out2[:, 2]], axis=2)
+    gbot = jnp.concatenate([out2[:, 1], out2[:, 3]], axis=2)
+    g5 = jnp.concatenate([gtop, gbot], axis=1)      # [B, 2m1, 2m2, m3, 2Co]
+    g4 = g5.reshape(B, 2 * m1, 2 * m2 * m3, 2 * Cout)
+    gSw = jnp_einsum("bkyl,lm->bkym", g4, S)
+    # inverse T: tr = It_R gr - It_I gi ; ti = It_I gr + It_R gi
+    t = (jnp_einsum("bkyl,kt->btyl", g4, ItR)
+         + jnp_einsum("bkyl,kt->btyl", gSw, ItI))   # [B, Tp, Y, 2Co]
+    # the kernel↔mid boundary stays at the spectra dtype (bf16 when the
+    # fused layer runs bf16) — see spec_dtype in _layer_calls
+    return t.reshape(BT, Y, 2 * Cout).astype(y.dtype)
+
+
 def mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=None):
     """Packed spectra [BT, 2m2*m3, 2C] → T-DFT → corner-block channel mixing
     (fno.py:53-60 order) → inverse T → same packed shape.
@@ -615,31 +703,20 @@ def mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=None):
     All tensors here are O(B·T·m2·m3·C) — a few MB; runs in plain XLA so
     autodiff produces the w_real/w_imag gradients.
 
-    ``mid_dtype=bfloat16`` (the default when the fused layer itself runs
-    bf16) runs the einsums with bf16 operands and f32 accumulation —
-    halves the mid-section HBM traffic at ~1e-3 relative output error.
-    ``REALPDEBENCH_FNO_MID=bf16|f32`` overrides either way (A/B runs)."""
+    Default path: lane-packed complex arithmetic + 2x2 block-complex corner
+    GEMM (`_mid_spectral_packed`). ``REALPDEBENCH_FNO_CORNER=split``
+    selects the original split-lane real/imag form (A/B runs; also the
+    reference shape for the block-corner parity test)."""
     import os
+
+    jnp_einsum, _ = _mid_einsum(mid_dtype)
+    if os.environ.get("REALPDEBENCH_FNO_CORNER", "block") == "block":
+        return _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum)
 
     _, Cin, Cout, m1, m2, m3 = w_real.shape
     BT, Y, C2 = y.shape
     C = C2 // 2
     EtR, EtI, ItR, ItI = (jnp.asarray(t) for t in _t_consts(Tp, m1))
-
-    env = os.environ.get("REALPDEBENCH_FNO_MID")
-    use_bf16 = (env == "bf16" if env
-                else mid_dtype == jnp.bfloat16)
-    if use_bf16:
-        dt = jnp.bfloat16
-        # this CPU thunk runtime cannot lower BF16xBF16=F32 dots
-        pet = (None if jax.default_backend() == "cpu" else jnp.float32)
-        _es = jnp.einsum
-
-        def jnp_einsum(eq_, a, b):
-            return _es(eq_, a.astype(dt), b.astype(dt),
-                       preferred_element_type=pet).astype(jnp.float32)
-    else:
-        jnp_einsum = jnp.einsum
 
     y6 = y.reshape(B, Tp, 2 * m2, m3, 2, C)
     yr = y6[..., 0, :]
@@ -658,23 +735,8 @@ def mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=None):
     # corner dims (b, 4, m1, m2, m3, cin) match the reference contraction
     # order directly (weights [4, Cin, Cout, m1, m2, m3], fno.py:53-60)
     eq = "bkxyzi,kioxyz->bkxyzo"
-    if os.environ.get("REALPDEBENCH_FNO_CORNER", "block") == "block":
-        # 2x2 block-complex packing (default): (cr + i*ci)(wr + i*wi) as ONE
-        # real GEMM [cr | ci] . [[wr, wi], [-wi, wr]] = [outr | outi]. Per
-        # mode the batched GEMM becomes [B, 2Cin] x [2Cin, 2Cout] — full
-        # 128-lane K and N on the MXU and 4x fewer small batched-GEMM
-        # dispatches than the split real/imag form (M=B=8, K=N=64 per
-        # mode, identical math). ``REALPDEBENCH_FNO_CORNER=split`` restores
-        # the split form (A/B runs).
-        x2 = jnp.concatenate([cr, ci], axis=-1)
-        top = jnp.concatenate([w_real, w_imag], axis=2)
-        bot = jnp.concatenate([-w_imag, w_real], axis=2)
-        w2 = jnp.concatenate([top, bot], axis=1)
-        out2 = jnp_einsum(eq, x2, w2)              # [B, 4, m1, m2, m3, 2Co]
-        outr, outi = out2[..., :Cout], out2[..., Cout:]
-    else:
-        outr = jnp_einsum(eq, cr, w_real) - jnp_einsum(eq, ci, w_imag)
-        outi = jnp_einsum(eq, cr, w_imag) + jnp_einsum(eq, ci, w_real)
+    outr = jnp_einsum(eq, cr, w_real) - jnp_einsum(eq, ci, w_imag)
+    outi = jnp_einsum(eq, cr, w_imag) + jnp_einsum(eq, ci, w_real)
 
     def regrid(o):
         top = jnp.concatenate([o[:, 0], o[:, 2]], axis=2)
@@ -687,7 +749,7 @@ def mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=None):
     ti = jnp_einsum("bkjmc,kt->btjmc", gr_, ItI) + jnp_einsum(
         "bkjmc,kt->btjmc", gi_, ItR)
     g = jnp.stack([tr, ti], axis=4)                # [B, Tp, 2m2, m3, 2, C]
-    return g.reshape(BT, Y, C2)
+    return g.reshape(BT, Y, C2).astype(y.dtype)
 
 
 # ---------------------------------------------------------------------------
