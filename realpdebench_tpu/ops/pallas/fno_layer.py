@@ -175,10 +175,15 @@ def _dot(a, b, contract, mxu=None):
 
 
 def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
-               y_ref, *, Hp, J, C2, m3, act, mxu, aligned):
+               y_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1):
+    """``kk`` = BT rows folded per grid block (aligned layout only): the
+    per-block fixed cost (~6 µs on v5e, from the round-4 DMA probe's k-sweep)
+    amortizes over kk row-images; every dot keeps its contraction and simply
+    flattens (kk, M) into the matmul M dim."""
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
-    xm = x_ref[0].astype(jnp.float32)              # [R, 128]
+    R = x_ref.shape[1]
+    xm = x_ref[...].reshape(kk * R, C2).astype(jnp.float32)
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
     if aligned:
@@ -187,35 +192,40 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
         # every contraction below kills them: the W dot contracts j against
         # E67X whose rows >= J are zero, and the H dot contracts h against
         # EhP whose rows >= Hp are zero.
-        z3 = zm.reshape(Hp8, J8, C2)
+        z3 = zm.reshape(kk * Hp8, J8, C2)
     else:
         # 8-aligned zero-padding before every relayout/dot: misaligned
         # sublane shapes (70, 67) fall off the Mosaic fast path (~1.3 ms per
         # 600K-elem transpose); padded rows are zeros and the padded DFT
         # matrices carry zero rows, so all contractions stay exact
+        # (kk == 1 on this path — see fused_fno_layer)
         z3 = jnp.pad(zm.reshape(Hp, J, C2),
                      ((0, Hp8 - Hp), (0, J8 - J), (0, 0)))
     # Cooley–Tukey W stage: one dot over the pair axis j against
     # [E67 | E67·tw] — the parity twiddle is folded into the matrix, so
     # combining parities is slices+adds only (no VPU multiplies)
-    S = dot(z3, e67x[:], (((1,), (0,))))          # [Hp8, C2, 4m3]
+    S = dot(z3, e67x[:], (((1,), (0,))))          # [kk*Hp8, C2, 4m3]
     C = C2 // 2
-    Xr = S[:, :C, 0:m3] + S[:, C:, 2 * m3:3 * m3]  # [Hp8, C, m3]
+    Xr = S[:, :C, 0:m3] + S[:, C:, 2 * m3:3 * m3]  # [kk*Hp8, C, m3]
     Xi = S[:, :C, m3:2 * m3] + S[:, C:, 3 * m3:]
-    # H stage (contract Hp8): put Hp8 minor, then flatten (C, m3) into the
-    # matmul M dim — shared-RHS batched dots become ONE 2-D dot
-    XrT = Xr.transpose(1, 2, 0).reshape(C * m3, Hp8)
-    XiT = Xi.transpose(1, 2, 0).reshape(C * m3, Hp8)
-    A = dot(XrT, ehp[:], (((1,), (0,))))          # [C*m3, 4m2]
+    # H stage (contract Hp8): put Hp8 minor, then flatten (kk, C, m3) into
+    # the matmul M dim — shared-RHS batched dots become ONE 2-D dot
+    XrT = Xr.reshape(kk, Hp8, C, m3).transpose(0, 2, 3, 1).reshape(
+        kk * C * m3, Hp8)
+    XiT = Xi.reshape(kk, Hp8, C, m3).transpose(0, 2, 3, 1).reshape(
+        kk * C * m3, Hp8)
+    A = dot(XrT, ehp[:], (((1,), (0,))))          # [kk*C*m3, 4m2]
     Bm = dot(XiT, ehp[:], (((1,), (0,))))
     m2x2 = A.shape[1] // 2
-    yR = A[:, :m2x2] - Bm[:, m2x2:]                # [C*m3, 2m2]
+    yR = A[:, :m2x2] - Bm[:, m2x2:]                # [kk*C*m3, 2m2]
     yI = A[:, m2x2:] + Bm[:, :m2x2]
     # pack → sublanes (j2, m), lanes (ri, c)
-    yRp = yR.reshape(C, m3, m2x2).transpose(2, 1, 0).reshape(m2x2 * m3, C)
-    yIp = yI.reshape(C, m3, m2x2).transpose(2, 1, 0).reshape(m2x2 * m3, C)
-    y_ref[0] = jnp.concatenate([yRp, yIp], axis=1).astype(
-        y_ref.dtype)                                # [2m2*m3, 2C]
+    yRp = yR.reshape(kk, C, m3, m2x2).transpose(0, 3, 2, 1).reshape(
+        kk * m2x2 * m3, C)
+    yIp = yI.reshape(kk, C, m3, m2x2).transpose(0, 3, 2, 1).reshape(
+        kk * m2x2 * m3, C)
+    y_ref[...] = jnp.concatenate([yRp, yIp], axis=1).reshape(
+        kk, m2x2 * m3, C2).astype(y_ref.dtype)      # [kk, 2m2*m3, 2C]
 
 
 # ---------------------------------------------------------------------------
@@ -225,39 +235,43 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
 
 def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
                ihp, iwe2, iwo2, selET, selOT, mask,
-               s_ref, stats_ref, *, Hp, J, C2, m3, act, mxu, aligned):
+               s_ref, stats_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     i = pl.program_id(0)
     C = C2 // 2
-    g = g_ref[0]                                   # [2m2*m3, 2C]
-    m2x2 = g.shape[0] // m3
-    # flatten (m3, C) into M: shared-RHS batched dots become 2-D dots
-    gRT = g[:, :C].reshape(m2x2, m3, C).transpose(1, 2, 0).reshape(
-        m3 * C, m2x2)
-    gIT = g[:, C:].reshape(m2x2, m3, C).transpose(1, 2, 0).reshape(
-        m3 * C, m2x2)
+    R = x_ref.shape[1]
+    Y = g_ref.shape[1]                             # 2m2*m3
+    m2x2 = Y // m3
+    # flatten (kk, m3, C) into M: shared-RHS batched dots become 2-D dots
+    g = g_ref[...]                                 # [kk, 2m2*m3, 2C]
+    gRT = g[:, :, :C].reshape(kk, m2x2, m3, C).transpose(0, 2, 3, 1).reshape(
+        kk * m3 * C, m2x2)
+    gIT = g[:, :, C:].reshape(kk, m2x2, m3, C).transpose(0, 2, 3, 1).reshape(
+        kk * m3 * C, m2x2)
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
     # inverse H (contract 2m2), [IhR | IhI] packed at Hp8 boundaries
-    A = dot(gRT, ihp[:], (((1,), (0,))))          # [m3*C, 2Hp8]
+    A = dot(gRT, ihp[:], (((1,), (0,))))          # [kk*m3*C, 2Hp8]
     Bm = dot(gIT, ihp[:], (((1,), (0,))))
     ihR = A[:, :Hp8] - Bm[:, Hp8:]
     ihI = Bm[:, :Hp8] + A[:, Hp8:]
-    ihRT = ihR.reshape(m3, C, Hp8).transpose(2, 1, 0)  # [Hp8, C, m3]
-    ihIT = ihI.reshape(m3, C, Hp8).transpose(2, 1, 0)
+    ihRT = ihR.reshape(kk, m3, C, Hp8).transpose(0, 3, 2, 1)  # [kk,Hp8,C,m3]
+    ihIT = ihI.reshape(kk, m3, C, Hp8).transpose(0, 3, 2, 1)
     # inverse W per output parity (Hermitian-doubled real projection):
-    # lane-concat (re ‖ im) once, flatten (Hp8, C) into M, contract against
-    # the row-stacked [re; im] inverse matrices — one 2-D dot per parity
-    ihC = jnp.concatenate([ihRT, ihIT], axis=2).reshape(Hp8 * C, 2 * m3)
-    yE = dot(ihC, iwe2[:], (((1,), (0,))))        # [Hp8*C, J8]
+    # lane-concat (re ‖ im) once, flatten (kk, Hp8, C) into M, contract
+    # against the row-stacked [re; im] inverse matrices — one 2-D dot per
+    # parity
+    ihC = jnp.concatenate([ihRT, ihIT], axis=3).reshape(
+        kk * Hp8 * C, 2 * m3)
+    yE = dot(ihC, iwe2[:], (((1,), (0,))))        # [kk*Hp8*C, J8]
     yO = dot(ihC, iwo2[:], (((1,), (0,))))
     if aligned:
         # keep the aligned layout end-to-end: no slice, padded rows of the
         # inverse DFTs are exactly zero (IhP/IwE2/IwO2 carry zero pad
         # rows/cols), so only the pointwise branch writes garbage there
-        yEt = yE.reshape(Hp8, C, J8).transpose(0, 2, 1).reshape(
-            Hp8 * J8, C)
-        yOt = yO.reshape(Hp8, C, J8).transpose(0, 2, 1).reshape(
-            Hp8 * J8, C)
+        yEt = yE.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
+            kk * Hp8 * J8, C)
+        yOt = yO.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
+            kk * Hp8 * J8, C)
     else:
         yEt = yE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
             Hp * J, C)
@@ -266,22 +280,23 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
     # big lane concats cost ~8 us/block on this Mosaic (measured); selection
     # GEMMs against [I|0]/[0|I] run on the MXU at ~0.3 us instead
     y2 = dot(yEt, selET[:], (((1,), (0,)))) + dot(
-        yOt, selOT[:], (((1,), (0,))))             # [R, C2]
+        yOt, selOT[:], (((1,), (0,))))             # [kk*R, C2]
     # pointwise via the block-diagonal [[Wp,0],[0,Wp]] matrix: packed lanes
     # never split
-    xm = x_ref[0].astype(jnp.float32)
+    xm = x_ref[...].reshape(kk * R, C2).astype(jnp.float32)
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
-    zp = dot(zm, wp2_ref[:], (((1,), (0,))))      # [R, C2]
+    zp = dot(zm, wp2_ref[:], (((1,), (0,))))      # [kk*R, C2]
     s = y2 + zp + bp2_ref[:]
-    s_ref[0] = s.astype(s_ref.dtype)
+    s_ref[...] = s.reshape(kk, R, C2).astype(s_ref.dtype)
     if aligned:
         # padded rows carry pointwise-branch garbage — mask them out of the
-        # BN statistics (one [R8,1]-broadcast multiply)
-        sm_ = s * mask[:]
-        part = jnp.concatenate(
-            [jnp.sum(sm_, axis=0, keepdims=True),
-             jnp.sum(sm_ * s, axis=0, keepdims=True)], axis=0)
+        # BN statistics (one [R8,1]-broadcast multiply per row-image)
+        s3 = s.reshape(kk, R, C2)
+        sm_ = s3 * mask[:][None]
+        part = jnp.stack(
+            [jnp.sum(sm_, axis=(0, 1)),
+             jnp.sum(sm_ * s3, axis=(0, 1))], axis=0)
     else:
         part = jnp.concatenate(
             [jnp.sum(s, axis=0, keepdims=True),
@@ -301,44 +316,49 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
 
 def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
                 ihpt, iwet, iwot, selE, selO,
-                dg_ref, *, Hp, J, C2, m3, act, mxu, aligned):
+                dg_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     C = C2 // 2
-    sm = s_ref[0].astype(jnp.float32)              # [R, 128]
-    dsm = ds_ref[0].astype(jnp.float32)
+    R = s_ref.shape[1]
+    sm = s_ref[...].reshape(kk * R, C2).astype(jnp.float32)
+    dsm = ds_ref[...].reshape(kk * R, C2).astype(jnp.float32)
     ds_eff = dsm + ds1_ref[:] + 2.0 * sm * ds2_ref[:]
     # adjoint of the output packing: parity selection via GEMMs (big lane
     # slices cost ~8 us/block on this Mosaic; MXU selection is ~0.3 us)
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
-    dyEf = dot(ds_eff, selE[:], (((1,), (0,))))   # [R, C]
+    dyEf = dot(ds_eff, selE[:], (((1,), (0,))))   # [kk*R, C]
     dyOf = dot(ds_eff, selO[:], (((1,), (0,))))
     if aligned:
         # no mask needed: padded-row garbage in ds_eff (the ds1/ds2
         # broadcasts are nonzero everywhere) is annihilated downstream —
         # j >= J rows contract against IwET/IwOT zero rows, h >= Hp columns
         # against IhPT zero rows
-        pad = lambda a: a.reshape(Hp8, J8, C)
+        pad = lambda a: a.reshape(kk, Hp8, J8, C)
     else:
         pad = lambda a: jnp.pad(a.reshape(Hp, J, C),
-                                ((0, Hp8 - Hp), (0, J8 - J), (0, 0)))
-    dyE = pad(dyEf).transpose(0, 2, 1).reshape(Hp8 * C, J8)
-    dyO = pad(dyOf).transpose(0, 2, 1).reshape(Hp8 * C, J8)
-    # adjoint inverse W: [re.T | im.T] packed, (Hp8, C) flattened into M
-    AE = dot(dyE, iwet[:], (((1,), (0,))))        # [Hp8*C, 2m3]
+                                ((0, Hp8 - Hp), (0, J8 - J),
+                                 (0, 0)))[None]
+    dyE = pad(dyEf).transpose(0, 1, 3, 2).reshape(kk * Hp8 * C, J8)
+    dyO = pad(dyOf).transpose(0, 1, 3, 2).reshape(kk * Hp8 * C, J8)
+    # adjoint inverse W: [re.T | im.T] packed, (kk, Hp8, C) flattened into M
+    AE = dot(dyE, iwet[:], (((1,), (0,))))        # [kk*Hp8*C, 2m3]
     AO = dot(dyO, iwot[:], (((1,), (0,))))
     dihRT = AE[:, :m3] + AO[:, :m3]
     dihIT = AE[:, m3:] + AO[:, m3:]
-    dihR = dihRT.reshape(Hp8, C, m3).transpose(2, 1, 0).reshape(m3 * C, Hp8)
-    dihI = dihIT.reshape(Hp8, C, m3).transpose(2, 1, 0).reshape(m3 * C, Hp8)
-    # adjoint inverse H: [IhR.T | IhI.T] packed, (m3, C) flattened into M
-    A = dot(dihR, ihpt[:], (((1,), (0,))))        # [m3*C, 4m2]
+    dihR = dihRT.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
+        kk * m3 * C, Hp8)
+    dihI = dihIT.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
+        kk * m3 * C, Hp8)
+    # adjoint inverse H: [IhR.T | IhI.T] packed, (kk, m3, C) flattened into M
+    A = dot(dihR, ihpt[:], (((1,), (0,))))        # [kk*m3*C, 4m2]
     Bm = dot(dihI, ihpt[:], (((1,), (0,))))
     m2x2 = A.shape[1] // 2
-    dgR3 = (A[:, :m2x2] + Bm[:, m2x2:]).reshape(m3, C, m2x2)
-    dgI3 = (Bm[:, :m2x2] - A[:, m2x2:]).reshape(m3, C, m2x2)
-    dgR = dgR3.transpose(2, 0, 1).reshape(m2x2 * m3, C)
-    dgI = dgI3.transpose(2, 0, 1).reshape(m2x2 * m3, C)
-    dg_ref[0] = jnp.concatenate([dgR, dgI], axis=1).astype(dg_ref.dtype)
+    dgR3 = (A[:, :m2x2] + Bm[:, m2x2:]).reshape(kk, m3, C, m2x2)
+    dgI3 = (Bm[:, :m2x2] - A[:, m2x2:]).reshape(kk, m3, C, m2x2)
+    dgR = dgR3.transpose(0, 3, 1, 2).reshape(kk * m2x2 * m3, C)
+    dgI = dgI3.transpose(0, 3, 1, 2).reshape(kk * m2x2 * m3, C)
+    dg_ref[...] = jnp.concatenate([dgR, dgI], axis=1).reshape(
+        kk, m2x2 * m3, C2).astype(dg_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -350,58 +370,62 @@ def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
                  ds1_ref, ds2_ref, dy_ref,
                  ehpt, e67t, e67twt, selET, selOT, mask,
                  dx_ref, dwp2_ref, dvec_ref, *, Hp, J, C2, m3, act, mxu,
-                 aligned):
+                 aligned, kk=1):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     i = pl.program_id(0)
     C = C2 // 2
+    R = x_ref.shape[1]
     # --- spectral branch: dy → adjoint (H, W·tw) → dzW
-    dy = dy_ref[0]                                 # [2m2*m3, 2C]
-    m2x2 = dy.shape[0] // m3
-    dyR = dy[:, :C].reshape(m2x2, m3, C).transpose(2, 1, 0).reshape(
-        C * m3, m2x2)
-    dyI = dy[:, C:].reshape(m2x2, m3, C).transpose(2, 1, 0).reshape(
-        C * m3, m2x2)
+    dy = dy_ref[...]                               # [kk, 2m2*m3, 2C]
+    m2x2 = dy.shape[1] // m3
+    dyR = dy[:, :, :C].reshape(kk, m2x2, m3, C).transpose(0, 3, 2, 1).reshape(
+        kk * C * m3, m2x2)
+    dyI = dy[:, :, C:].reshape(kk, m2x2, m3, C).transpose(0, 3, 2, 1).reshape(
+        kk * C * m3, m2x2)
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
-    A = dot(dyR, ehpt[:], (((1,), (0,))))         # [C*m3, 2Hp8]
+    A = dot(dyR, ehpt[:], (((1,), (0,))))         # [kk*C*m3, 2Hp8]
     Bm = dot(dyI, ehpt[:], (((1,), (0,))))
-    dXr = (A[:, :Hp8] + Bm[:, Hp8:]).reshape(C, m3, Hp8).transpose(2, 0, 1)
-    dXi = (Bm[:, :Hp8] - A[:, Hp8:]).reshape(C, m3, Hp8).transpose(2, 0, 1)
+    dXr = (A[:, :Hp8] + Bm[:, Hp8:]).reshape(kk, C, m3, Hp8).transpose(
+        0, 3, 1, 2)                                # [kk, Hp8, C, m3]
+    dXi = (Bm[:, :Hp8] - A[:, Hp8:]).reshape(kk, C, m3, Hp8).transpose(
+        0, 3, 1, 2)
     # adjoint of the twiddle-folded W stage: even-parity channels see
     # E67.T, odd-parity see (E67·tw).T; lanes re-merged via selection GEMMs
     # (mirrors K2's inverse-W structure)
-    dXY = jnp.concatenate([dXr, dXi], axis=2).reshape(Hp8 * C, 2 * m3)
-    dzE = dot(dXY, e67t[:], (((1,), (0,))))       # [Hp8*C, J8]
+    dXY = jnp.concatenate([dXr, dXi], axis=3).reshape(kk * Hp8 * C, 2 * m3)
+    dzE = dot(dXY, e67t[:], (((1,), (0,))))       # [kk*Hp8*C, J8]
     dzO = dot(dXY, e67twt[:], (((1,), (0,))))
     if aligned:
         # padded rows of dzE/dzO are exactly zero (EhPT/E67T/E67twT carry
         # zero pad rows/cols) — keep the aligned layout, no slice
-        dzEt = dzE.reshape(Hp8, C, J8).transpose(0, 2, 1).reshape(
-            Hp8 * J8, C)
-        dzOt = dzO.reshape(Hp8, C, J8).transpose(0, 2, 1).reshape(
-            Hp8 * J8, C)
+        dzEt = dzE.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
+            kk * Hp8 * J8, C)
+        dzOt = dzO.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
+            kk * Hp8 * J8, C)
     else:
         dzEt = dzE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
             Hp * J, C)
         dzOt = dzO.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
             Hp * J, C)
     dzW = dot(dzEt, selET[:], (((1,), (0,)))) + dot(
-        dzOt, selOT[:], (((1,), (0,))))            # [R, C2]
+        dzOt, selOT[:], (((1,), (0,))))            # [kk*R, C2]
     # --- pointwise branch: ds_eff (BN-stat chain) → dzP
-    sm = s_ref[0].astype(jnp.float32)
-    dsm = ds_ref[0].astype(jnp.float32)
+    sm = s_ref[...].reshape(kk * R, C2).astype(jnp.float32)
+    dsm = ds_ref[...].reshape(kk * R, C2).astype(jnp.float32)
     ds_eff = dsm + ds1_ref[:] + 2.0 * sm * ds2_ref[:]
     if aligned:
         # mask padded rows once: dzP, dwp2, and the dvec reductions below
         # must not see the ds1/ds2 broadcast terms in alignment padding
-        ds_eff = ds_eff * mask[:]
-    dzP = dot(ds_eff, wp2t_ref[:], (((1,), (0,))))  # [R, 128]
+        ds_eff = (ds_eff.reshape(kk, R, C2) * mask[:][None]).reshape(
+            kk * R, C2)
+    dzP = dot(ds_eff, wp2t_ref[:], (((1,), (0,))))  # [kk*R, 128]
     # --- one combined activation-chain pass for BOTH consumers of z
     dz = dzW + dzP
-    xm = x_ref[0].astype(jnp.float32)
+    xm = x_ref[...].reshape(kk * R, C2).astype(jnp.float32)
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
     du = dz * _act_grad(um, act)
-    dx_ref[0] = (du * a2_ref[:]).astype(dx_ref.dtype)
+    dx_ref[...] = (du * a2_ref[:]).reshape(kk, R, C2).astype(dx_ref.dtype)
     dwp2 = dot(zm, ds_eff, (((0,), (0,))))        # [128, 128]
     dvec = jnp.concatenate(
         [jnp.sum(ds_eff, axis=0, keepdims=True),       # dbp2
@@ -423,17 +447,18 @@ def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
 
 
 # the K12B backward's scoped stack peaks >16MB (R=4690-row blocks), above
-# the default scoped-vmem limit; v5e has 128MB VMEM, so raise it
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+# the default scoped-vmem limit; v5e has 128MB VMEM, so raise it (kk-row
+# blocks multiply the scoped stack by kk)
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _full():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
-def _blk(*shape):
+def _blk(kk, *shape):
     n = len(shape)
-    return pl.BlockSpec((1, *shape), lambda i: tuple([i] + [0] * n),
+    return pl.BlockSpec((kk, *shape), lambda i: tuple([i] + [0] * n),
                         memory_space=pltpu.VMEM)
 
 
@@ -456,14 +481,49 @@ def _block_diag2(w):
         axis=0)
 
 
+def _bt_blocks(BT: int, aligned: bool):
+    """Per-kernel BT rows per grid block (kk). The round-4 DMA probe showed
+    a ~6 µs fixed cost per grid block; folding rows amortizes it. Defaults
+    are VMEM-conservative per kernel (the scoped stack scales with kk; K12B
+    carries the deepest stack and stays at 1). ``REALPDEBENCH_FNO_BTBLK`` =
+    "k1,k2,k2a,k12b" overrides for chip tuning; the unaligned legacy layout
+    always runs kk=1 (its in-kernel pads assume single-row blocks)."""
+    import os
+
+    def fit(want):
+        k = want
+        while BT % k:
+            k -= 1
+        return k
+
+    env = os.environ.get("REALPDEBENCH_FNO_BTBLK")
+    if env:
+        try:
+            vals = [int(v) for v in env.split(",")]
+            if len(vals) == 4 and all(v >= 1 for v in vals):
+                return tuple(fit(v) for v in vals) if aligned else (1, 1, 1, 1)
+        except ValueError:
+            pass
+        import warnings
+
+        warnings.warn(
+            f"REALPDEBENCH_FNO_BTBLK={env!r} is not 4 comma-separated "
+            "positive ints; using defaults")
+    if not aligned:
+        return (1, 1, 1, 1)
+    return (fit(4), fit(2), fit(2), fit(1))
+
+
 @functools.lru_cache(maxsize=32)
 def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
                  act: str, interpret: bool, x_dtype_str: str,
-                 aligned: bool = False):
+                 aligned: bool = False,
+                 kks: tuple = (1, 1, 1, 1)):
     """The four pallas_calls of one layer (K1, K2 forward; K2A, K12B
     backward) for one static configuration. With ``aligned`` the
     activation blocks are the pre-padded 8-aligned [Hp8*J8, C2] layout
-    (Strategy B from the mosaic relayout probe)."""
+    (Strategy B from the mosaic relayout probe). ``kks`` = BT rows per
+    grid block for (K1, K2, K2A, K12B)."""
     x_dtype = jnp.dtype(x_dtype_str)
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
     R = Hp8 * J8 if aligned else Hp * J
@@ -476,40 +536,42 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
     spec_dtype = x_dtype if mxu is not None else jnp.float32
     kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, mxu=mxu, aligned=aligned)
     cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)
+    kk1, kk2, kk2a, kk12b = kks
     k1 = pl.pallas_call(
-        functools.partial(_k1_kernel, **kw),
-        grid=(BT,),
-        in_specs=[_blk(R, C2), _full(), _full()] + [_full()] * 2,
-        out_specs=_blk(Y, C2),
+        functools.partial(_k1_kernel, **kw, kk=kk1),
+        grid=(BT // kk1,),
+        in_specs=[_blk(kk1, R, C2), _full(), _full()] + [_full()] * 2,
+        out_specs=_blk(kk1, Y, C2),
         out_shape=jax.ShapeDtypeStruct((BT, Y, C2), spec_dtype),
         **cp,
     )
     k2 = pl.pallas_call(
-        functools.partial(_k2_kernel, **kw),
-        grid=(BT,),
-        in_specs=[_blk(Y, C2), _blk(R, C2), _full(), _full(), _full(),
-                  _full()] + [_full()] * 6,
-        out_specs=(_blk(R, C2), _acc(2, C2)),
+        functools.partial(_k2_kernel, **kw, kk=kk2),
+        grid=(BT // kk2,),
+        in_specs=[_blk(kk2, Y, C2), _blk(kk2, R, C2), _full(), _full(),
+                  _full(), _full()] + [_full()] * 6,
+        out_specs=(_blk(kk2, R, C2), _acc(2, C2)),
         out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
                    jax.ShapeDtypeStruct((2, C2), jnp.float32)),
         **cp,
     )
     k2a = pl.pallas_call(
-        functools.partial(_k2a_kernel, **kw),
-        grid=(BT,),
-        in_specs=[_blk(R, C2), _blk(R, C2), _full(), _full()]
+        functools.partial(_k2a_kernel, **kw, kk=kk2a),
+        grid=(BT // kk2a,),
+        in_specs=[_blk(kk2a, R, C2), _blk(kk2a, R, C2), _full(), _full()]
         + [_full()] * 5,
-        out_specs=_blk(Y, C2),
+        out_specs=_blk(kk2a, Y, C2),
         out_shape=jax.ShapeDtypeStruct((BT, Y, C2), spec_dtype),
         **cp,
     )
     k12b = pl.pallas_call(
-        functools.partial(_k12b_kernel, **kw),
-        grid=(BT,),
-        in_specs=[_blk(R, C2), _full(), _full(), _full(),
-                  _blk(R, C2), _blk(R, C2), _full(), _full(), _blk(Y, C2)]
+        functools.partial(_k12b_kernel, **kw, kk=kk12b),
+        grid=(BT // kk12b,),
+        in_specs=[_blk(kk12b, R, C2), _full(), _full(), _full(),
+                  _blk(kk12b, R, C2), _blk(kk12b, R, C2), _full(), _full(),
+                  _blk(kk12b, Y, C2)]
         + [_full()] * 6,
-        out_specs=(_blk(R, C2), _acc(C2, C2), _acc(3, C2)),
+        out_specs=(_blk(kk12b, R, C2), _acc(C2, C2), _acc(3, C2)),
         out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
                    jax.ShapeDtypeStruct((C2, C2), jnp.float32),
                    jax.ShapeDtypeStruct((3, C2), jnp.float32)),
@@ -522,7 +584,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
 def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
                 m1: int, m2: int, m3: int,
                 act: str, interpret: bool, x_dtype_str: str,
-                aligned: bool = False):
+                aligned: bool = False, kks: tuple = (1, 1, 1, 1)):
     """One fused FNO layer as a single custom_vjp:
 
       fwd:  K1 → mid_spectral (XLA) → K2
@@ -534,7 +596,7 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
     # jnp.asarray here would capture a tracer from whichever jit trace ran
     # first and leak it into later traces
     k1_call, k2_call, k2a_call, k12b_call = _layer_calls(
-        BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str, aligned)
+        BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str, aligned, kks)
     eyeC = np.eye(C, dtype=np.float32)
     zC = np.zeros((C, C), np.float32)
     selE = np.concatenate([eyeC, zC], axis=0)   # [2C, C]
@@ -792,8 +854,9 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
     """
     B, Tp, Hp, Wp, C = dims
     m1, m2, m3 = w_real.shape[3], w_real.shape[4], w_real.shape[5]
+    kks = _bt_blocks(B * Tp, aligned)
     layer = _make_layer(B, Tp, Hp, Wp // 2, C, m1, m2, m3, act, interpret,
-                        str(x.dtype), aligned)
+                        str(x.dtype), aligned, kks)
     return layer(x, a, b, w_real, w_imag, wp, bp)
 
 

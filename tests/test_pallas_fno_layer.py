@@ -340,3 +340,23 @@ def test_fno3d_aligned_env_matches_unfused(monkeypatch):
             jax.tree_util.tree_leaves_with_path(mr)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3, err_msg=str(ka))
+
+
+def test_bt_blocks_selection(monkeypatch):
+    """kk (BT rows per grid block) defaults, divisibility fit, env override,
+    and the unaligned-layout kk=1 pin."""
+    from realpdebench_tpu.ops.pallas.fno_layer import _bt_blocks
+
+    monkeypatch.delenv("REALPDEBENCH_FNO_BTBLK", raising=False)
+    assert _bt_blocks(208, True) == (4, 2, 2, 1)
+    assert _bt_blocks(13, True) == (1, 1, 1, 1)   # prime BT: nothing divides
+    assert _bt_blocks(26, True) == (2, 2, 2, 1)   # fit() drops 4 -> 2
+    assert _bt_blocks(208, False) == (1, 1, 1, 1)  # legacy layout pins kk=1
+    monkeypatch.setenv("REALPDEBENCH_FNO_BTBLK", "8,4,4,2")
+    assert _bt_blocks(208, True) == (8, 4, 4, 2)
+    assert _bt_blocks(208, False) == (1, 1, 1, 1)
+    monkeypatch.setenv("REALPDEBENCH_FNO_BTBLK", "6,1,1,1")
+    assert _bt_blocks(208, True) == (4, 1, 1, 1)  # 6 does not divide 208
+    monkeypatch.setenv("REALPDEBENCH_FNO_BTBLK", "bogus")
+    with pytest.warns(UserWarning):
+        assert _bt_blocks(208, True) == (4, 2, 2, 1)

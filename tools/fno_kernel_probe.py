@@ -118,8 +118,11 @@ def main(n_iter=30, aligned=True, dtype=jnp.bfloat16):
     v = build_inputs(aligned, dtype)
     cs = consts(aligned)
     act = "tanh"
+    kks = F._bt_blocks(BT, aligned)
+    print(json.dumps({"probe": "config", "kks": list(kks)}), flush=True)
     k1, k2, k2a, k12b = F._layer_calls(
-        BT, Hp, J, C2, m2, m3, act, False, str(jnp.dtype(dtype)), aligned)
+        BT, Hp, J, C2, m2, m3, act, False, str(jnp.dtype(dtype)), aligned,
+        kks)
 
     def first(o):
         out = o[0] if isinstance(o, tuple) else o
