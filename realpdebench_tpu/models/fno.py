@@ -302,25 +302,43 @@ class FNO3d(nn.Module):
         def tile2(v):
             return jnp.concatenate([v, v], axis=0)
 
-        # --- head: fc0 on packed lanes
-        k0, b0 = _DenseParams(C, cin, name="fc0")()
-        xh = xg.reshape(B * T, H * J0, 2 * cin)
-        xf = (jnp.einsum("rjc,cd->rjd", xh.astype(dt), bdiag(k0).astype(dt))
-              + tile2(b0).astype(dt))
-        # --- end-pad (T, H, W) in flat space: lanes (=128) stay minor.
-        # By default (Strategy B) the (H, J) rows are additionally padded up
-        # to multiples of 8 so every in-kernel reshape/reduce in the fused
+        # --- end-pad (T, H, W) in flat space: lanes stay minor. By default
+        # (Strategy B) the (H, J) rows are additionally padded up to
+        # multiples of 8 so every in-kernel reshape/reduce in the fused
         # layers is Mosaic tile-aligned (see the relayout-probe notes in
         # ops/pallas/fno_layer.py) at +10% activation HBM; measured on v5e
         # it takes the reference-scale train step 415 -> 278 ms (+49%
         # steps/s). REALPDEBENCH_FNO_ALIGNED=0 opts out.
         from realpdebench_tpu.utils.misc import env_flag
         aligned = env_flag("REALPDEBENCH_FNO_ALIGNED", default=True)
+        pad_early = env_flag("REALPDEBENCH_FNO_PAD_EARLY", default=True)
         Hr = -(-Hp // 8) * 8 if aligned else Hp
         Jr = -(-Jp // 8) * 8 if aligned else Jp
-        x4 = xf.reshape(B, T, H, J0, C2)
-        x4 = jnp.pad(x4, ((0, 0), (0, p), (0, Hr - H), (0, Jr - J0), (0, 0)))
-        xf = x4.reshape(B * Tp, Hr * Jr, C2)
+        # --- head: fc0 on packed lanes. Default: pad the THIN (2*cin-lane)
+        # tensor first and run fc0 on the padded grid — the round-4 trace
+        # showed pad-after-fc0 streaming the fat 128-lane tensor (444 MB
+        # accessed per microbatch). fc0's bias lands in the padded region
+        # instead of zeros; layer 1's kernels zero those rows on read/write
+        # (in_valid below), reproducing pad-after-fc0 exactly.
+        # REALPDEBENCH_FNO_PAD_EARLY=0 opts out (A/B).
+        k0, b0 = _DenseParams(C, cin, name="fc0")()
+        if pad_early:
+            x4i = xg.reshape(B, T, H, J0, 2 * cin)
+            x4i = jnp.pad(
+                x4i, ((0, 0), (0, p), (0, Hr - H), (0, Jr - J0), (0, 0)))
+            xh = x4i.reshape(B * Tp, Hr * Jr, 2 * cin)
+            xf = (jnp.einsum("rjc,cd->rjd", xh.astype(dt),
+                             bdiag(k0).astype(dt)) + tile2(b0).astype(dt))
+            in_valid0 = (T, H, J0)
+        else:
+            xh = xg.reshape(B * T, H * J0, 2 * cin)
+            xf = (jnp.einsum("rjc,cd->rjd", xh.astype(dt),
+                             bdiag(k0).astype(dt)) + tile2(b0).astype(dt))
+            x4 = xf.reshape(B, T, H, J0, C2)
+            x4 = jnp.pad(
+                x4, ((0, 0), (0, p), (0, Hr - H), (0, Jr - J0), (0, 0)))
+            xf = x4.reshape(B * Tp, Hr * Jr, C2)
+            in_valid0 = None
 
         # --- spectral stack
         n_pos = B * Tp * Hp * Wp
@@ -338,7 +356,7 @@ class FNO3d(nn.Module):
             s, stats128 = fused_fno_layer(
                 xf, a, b, w_real, w_imag, wp_k, bp_k[None],
                 dims=dims, act=act, interpret=self.pallas_interpret,
-                aligned=aligned,
+                aligned=aligned, in_valid=in_valid0 if i == 0 else None,
             )
             ch = stats128[:, :C] + stats128[:, C:]
             batch_mean = ch[0] / n_pos

@@ -174,8 +174,29 @@ def _dot(a, b, contract, mxu=None):
 # ---------------------------------------------------------------------------
 
 
-def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
-               y_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1):
+def _read_x(x_ref, xmask_ref, kk, tdims):
+    """Read a [kk, R, C2] activation block as f32 rows [kk*R, C2].
+
+    ``tdims=(T, Tp)`` enables input masking (the pad-early head, see
+    FNO3d._fused_forward): rows with h >= H or j >= J0 (the xmask const)
+    and whole bt-images with t >= T are zeroed, reproducing exactly the
+    zeros that ``jnp.pad`` after fc0 used to provide — fc0's bias in the
+    padded region must not reach the spectral math or the BN statistics."""
+    R, C2 = x_ref.shape[1], x_ref.shape[2]
+    if tdims is None:
+        return x_ref[...].reshape(kk * R, C2).astype(jnp.float32)
+    T, Tp = tdims
+    bt0 = pl.program_id(0) * kk
+    tidx = jax.lax.rem(
+        bt0 + jax.lax.broadcasted_iota(jnp.int32, (kk, 1, 1), 0), Tp)
+    tfac = (tidx < T).astype(jnp.float32)
+    x3 = x_ref[...].astype(jnp.float32) * (xmask_ref[:][None] * tfac)
+    return x3.reshape(kk * R, C2)
+
+
+def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp, xmask,
+               y_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1,
+               tdims=None):
     """``kk`` = BT rows folded per grid block (aligned layout only): the
     per-block fixed cost (~6 µs on v5e, from the round-4 DMA probe's k-sweep)
     amortizes over kk row-images; every dot keeps its contraction and simply
@@ -183,7 +204,7 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
     R = x_ref.shape[1]
-    xm = x_ref[...].reshape(kk * R, C2).astype(jnp.float32)
+    xm = _read_x(x_ref, xmask, kk, tdims)
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
     if aligned:
@@ -234,8 +255,9 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp,
 
 
 def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
-               ihp, iwe2, iwo2, selET, selOT, mask,
-               s_ref, stats_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1):
+               ihp, iwe2, iwo2, selET, selOT, mask, xmask,
+               s_ref, stats_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1,
+               tdims=None):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     i = pl.program_id(0)
     C = C2 // 2
@@ -283,7 +305,7 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
         yOt, selOT[:], (((1,), (0,))))             # [kk*R, C2]
     # pointwise via the block-diagonal [[Wp,0],[0,Wp]] matrix: packed lanes
     # never split
-    xm = x_ref[...].reshape(kk * R, C2).astype(jnp.float32)
+    xm = _read_x(x_ref, xmask, kk, tdims)
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
     zp = dot(zm, wp2_ref[:], (((1,), (0,))))      # [kk*R, C2]
@@ -316,7 +338,10 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
 
 def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
                 ihpt, iwet, iwot, selE, selO,
-                dg_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1):
+                dg_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1,
+                tdims=None):
+    # tdims is accepted for kwarg uniformity with the other kernels but
+    # unused: K2A never reads x (pad-early masking is an x-read concern)
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     C = C2 // 2
     R = s_ref.shape[1]
@@ -368,9 +393,9 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
 
 def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
                  ds1_ref, ds2_ref, dy_ref,
-                 ehpt, e67t, e67twt, selET, selOT, mask,
+                 ehpt, e67t, e67twt, selET, selOT, mask, xmask,
                  dx_ref, dwp2_ref, dvec_ref, *, Hp, J, C2, m3, act, mxu,
-                 aligned, kk=1):
+                 aligned, kk=1, tdims=None):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     i = pl.program_id(0)
     C = C2 // 2
@@ -421,11 +446,21 @@ def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
     dzP = dot(ds_eff, wp2t_ref[:], (((1,), (0,))))  # [kk*R, 128]
     # --- one combined activation-chain pass for BOTH consumers of z
     dz = dzW + dzP
-    xm = x_ref[...].reshape(kk * R, C2).astype(jnp.float32)
+    xm = _read_x(x_ref, xmask, kk, tdims)
     um = xm * a2_ref[:] + b2_ref[:]
     zm = _act(um, act)
     du = dz * _act_grad(um, act)
-    dx_ref[...] = (du * a2_ref[:]).reshape(kk, R, C2).astype(dx_ref.dtype)
+    dx3 = (du * a2_ref[:]).reshape(kk, R, C2)
+    if tdims is not None:
+        # the pad-early head's fc0 bias gradient must not see cotangent at
+        # padded rows (the reference's pad-bwd slices them away); zero dx
+        # exactly where _read_x zeroed x
+        T_, Tp_ = tdims
+        bt0 = pl.program_id(0) * kk
+        tidx = jax.lax.rem(
+            bt0 + jax.lax.broadcasted_iota(jnp.int32, (kk, 1, 1), 0), Tp_)
+        dx3 = dx3 * (xmask[:][None] * (tidx < T_).astype(jnp.float32))
+    dx_ref[...] = dx3.astype(dx_ref.dtype)
     dwp2 = dot(zm, ds_eff, (((0,), (0,))))        # [128, 128]
     dvec = jnp.concatenate(
         [jnp.sum(ds_eff, axis=0, keepdims=True),       # dbp2
@@ -518,12 +553,13 @@ def _bt_blocks(BT: int, aligned: bool):
 def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
                  act: str, interpret: bool, x_dtype_str: str,
                  aligned: bool = False,
-                 kks: tuple = (1, 1, 1, 1)):
+                 kks: tuple = (1, 1, 1, 1), tdims=None):
     """The four pallas_calls of one layer (K1, K2 forward; K2A, K12B
     backward) for one static configuration. With ``aligned`` the
     activation blocks are the pre-padded 8-aligned [Hp8*J8, C2] layout
     (Strategy B from the mosaic relayout probe). ``kks`` = BT rows per
-    grid block for (K1, K2, K2A, K12B)."""
+    grid block for (K1, K2, K2A, K12B). ``tdims=(T, Tp)`` enables the
+    pad-early input masking (layer 1 only, see _read_x)."""
     x_dtype = jnp.dtype(x_dtype_str)
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
     R = Hp8 * J8 if aligned else Hp * J
@@ -534,13 +570,14 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
     # compute dtype: bf16 halves those HBM passes (the mid already runs
     # bf16 einsums in that regime); f32 layers keep f32 spectra bit-stable
     spec_dtype = x_dtype if mxu is not None else jnp.float32
-    kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, mxu=mxu, aligned=aligned)
+    kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, mxu=mxu, aligned=aligned,
+              tdims=tdims)
     cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)
     kk1, kk2, kk2a, kk12b = kks
     k1 = pl.pallas_call(
         functools.partial(_k1_kernel, **kw, kk=kk1),
         grid=(BT // kk1,),
-        in_specs=[_blk(kk1, R, C2), _full(), _full()] + [_full()] * 2,
+        in_specs=[_blk(kk1, R, C2), _full(), _full()] + [_full()] * 3,
         out_specs=_blk(kk1, Y, C2),
         out_shape=jax.ShapeDtypeStruct((BT, Y, C2), spec_dtype),
         **cp,
@@ -549,7 +586,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
         functools.partial(_k2_kernel, **kw, kk=kk2),
         grid=(BT // kk2,),
         in_specs=[_blk(kk2, Y, C2), _blk(kk2, R, C2), _full(), _full(),
-                  _full(), _full()] + [_full()] * 6,
+                  _full(), _full()] + [_full()] * 7,
         out_specs=(_blk(kk2, R, C2), _acc(2, C2)),
         out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
                    jax.ShapeDtypeStruct((2, C2), jnp.float32)),
@@ -570,7 +607,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
         in_specs=[_blk(kk12b, R, C2), _full(), _full(), _full(),
                   _blk(kk12b, R, C2), _blk(kk12b, R, C2), _full(), _full(),
                   _blk(kk12b, Y, C2)]
-        + [_full()] * 6,
+        + [_full()] * 7,
         out_specs=(_blk(kk12b, R, C2), _acc(C2, C2), _acc(3, C2)),
         out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
                    jax.ShapeDtypeStruct((C2, C2), jnp.float32),
@@ -584,19 +621,27 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
 def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
                 m1: int, m2: int, m3: int,
                 act: str, interpret: bool, x_dtype_str: str,
-                aligned: bool = False, kks: tuple = (1, 1, 1, 1)):
+                aligned: bool = False, kks: tuple = (1, 1, 1, 1),
+                in_valid=None):
     """One fused FNO layer as a single custom_vjp:
 
       fwd:  K1 → mid_spectral (XLA) → K2
       bwd:  K2A → vjp(mid_spectral) (XLA) → K12B
+
+    ``in_valid=(T, H, J0)`` marks the layer's input as pad-early (layer 1
+    under FNO3d's early-padded head): x rows outside the true data extent
+    hold fc0 bias rather than zeros, and the kernels zero them on read
+    (and zero dx on write) to reproduce pad-after-fc0 semantics exactly.
     """
     C2, BT = 2 * C, B * Tp
     cst = _ct_consts(Hp, 2 * J, m2, m3)
+    tdims = None if in_valid is None else (in_valid[0], Tp)
     # closure constants stay NUMPY: this factory is lru_cached, so any
     # jnp.asarray here would capture a tracer from whichever jit trace ran
     # first and leak it into later traces
     k1_call, k2_call, k2a_call, k12b_call = _layer_calls(
-        BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str, aligned, kks)
+        BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str, aligned, kks,
+        tdims)
     eyeC = np.eye(C, dtype=np.float32)
     zC = np.zeros((C, C), np.float32)
     selE = np.concatenate([eyeC, zC], axis=0)   # [2C, C]
@@ -604,17 +649,25 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
     selET = np.concatenate([eyeC, zC], axis=1)  # [C, 2C]
     selOT = np.concatenate([zC, eyeC], axis=1)
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
+    Hr, Jr = (Hp8, J8) if aligned else (Hp, J)
+    rows = np.arange(Hr * Jr)
     if aligned:
-        rows = np.arange(Hp8 * J8)
         mask = (((rows // J8) < Hp) & ((rows % J8) < J)).astype(
             np.float32)[:, None]                # [R8, 1] row validity
     else:
         mask = np.ones((Hp * J, 1), np.float32)
-    k1_consts = (cst["E67X"], cst["EhP"])
-    k2_consts = (cst["IhP"], cst["IwE2"], cst["IwO2"], selET, selOT, mask)
+    if in_valid is None:
+        xmask = np.ones((Hr * Jr, 1), np.float32)
+    else:
+        _, Hv, Jv = in_valid
+        xmask = (((rows // Jr) < Hv) & ((rows % Jr) < Jv)).astype(
+            np.float32)[:, None]                # true-data row validity
+    k1_consts = (cst["E67X"], cst["EhP"], xmask)
+    k2_consts = (cst["IhP"], cst["IwE2"], cst["IwO2"], selET, selOT, mask,
+                 xmask)
     k2a_consts = (cst["IhPT"], cst["IwET"], cst["IwOT"], selE, selO)
     k12b_consts = (cst["EhPT"], cst["E67T"], cst["E67twT"], selET, selOT,
-                   mask)
+                   mask, xmask)
 
     x_dtype = jnp.dtype(x_dtype_str)
 
@@ -833,8 +886,12 @@ def unflatten_cw(x2, B, T, H, W, C):
 
 
 def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
-                    interpret=False, aligned=False):
+                    interpret=False, aligned=False, in_valid=None):
     """One fused FNO layer on packed flat activations.
+
+    ``in_valid=(T, H, J0)`` (layer 1 under the pad-early head): x rows
+    outside the true data extent hold fc0 bias, not zeros; the kernels
+    zero them on read and zero dx on write (see _read_x).
 
     Args:
       x: [B*Tp, Hp*(Wp//2), 2C] pre-BN activations of the previous layer
@@ -856,18 +913,28 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
     m1, m2, m3 = w_real.shape[3], w_real.shape[4], w_real.shape[5]
     kks = _bt_blocks(B * Tp, aligned)
     layer = _make_layer(B, Tp, Hp, Wp // 2, C, m1, m2, m3, act, interpret,
-                        str(x.dtype), aligned, kks)
+                        str(x.dtype), aligned, kks, in_valid)
     return layer(x, a, b, w_real, w_imag, wp, bp)
 
 
-def reference_fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act):
+def reference_fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
+                              in_valid=None):
     """Pure-jnp oracle for the fused layer (tests + non-TPU fallback):
     identical math via ops/spectral.truncated_spectral_conv3d_dft on the
-    unflattened layout."""
+    unflattened layout. ``in_valid=(T, H, J0)`` zeroes x outside the true
+    data extent (pad-early semantics; dx masking follows from autodiff)."""
     from realpdebench_tpu.ops.spectral import truncated_spectral_conv3d_dft
 
     B, Tp, Hp, Wp, C = dims
     x5 = unflatten_cw(x, B, Tp, Hp, Wp, C)
+    if in_valid is not None:
+        T, Hv, Jv = in_valid
+        tm = (jnp.arange(Tp) < T).astype(x5.dtype)
+        hm = (jnp.arange(Hp) < Hv).astype(x5.dtype)
+        wm = (jnp.arange(Wp) < 2 * Jv).astype(x5.dtype)
+        x5 = (x5 * tm[None, :, None, None, None]
+              * hm[None, None, :, None, None]
+              * wm[None, None, None, :, None])
     z5 = _act(x5.astype(jnp.float32) * a[0] + b[0], act)
     spec = truncated_spectral_conv3d_dft(z5, w_real, w_imag)
     s5 = spec + jnp.einsum("bthwc,cd->bthwd", z5, wp) + bp[0]

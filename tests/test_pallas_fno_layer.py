@@ -360,3 +360,44 @@ def test_bt_blocks_selection(monkeypatch):
     monkeypatch.setenv("REALPDEBENCH_FNO_BTBLK", "bogus")
     with pytest.warns(UserWarning):
         assert _bt_blocks(208, True) == (4, 2, 2, 1)
+
+
+def test_fused_layer_in_valid_pad_early_parity():
+    """in_valid (pad-early head): rows outside the true data extent carry
+    fc0-bias garbage; the kernels must zero them on read and zero dx on
+    write — identical to the oracle fed explicitly-zeroed x."""
+    T, Hv, Jv = Tp - 2, Hp - 3, (Wp // 2) - 2
+    args = _inputs(seed=5)
+    x = args[0] + 0.7  # nonzero "bias garbage" everywhere incl. pad rows
+
+    def mask_x(xq):
+        x5 = xq.reshape(B, Tp, Hp, Wp // 2, 2 * C)
+        tm = (np.arange(Tp) < T).astype(np.float32)
+        hm = (np.arange(Hp) < Hv).astype(np.float32)
+        jm = (np.arange(Wp // 2) < Jv).astype(np.float32)
+        x5 = (x5 * tm[None, :, None, None, None]
+              * hm[None, None, :, None, None]
+              * jm[None, None, None, :, None])
+        return x5.reshape(B * Tp, Hp * (Wp // 2), 2 * C)
+
+    def loss(fn):
+        def run(xq, *rest):
+            s, stats = fn(xq, *rest)
+            ch = _fold(stats)
+            return (jnp.sum(s * s) * 1e-3 + jnp.sum(ch[1] / NPOS)
+                    + jnp.sum((ch[0] / NPOS) ** 2))
+        return run
+
+    fused = loss(lambda *q: fused_fno_layer(
+        *q, dims=DIMS, act="none", interpret=True, in_valid=(T, Hv, Jv)))
+    ref = loss(lambda *q: reference_fused_fno_layer(
+        *q, dims=DIMS, act="none"))
+    lf = fused(x, *args[1:])
+    lr = ref(mask_x(x), *args[1:])
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-4)
+    gx_f = jax.grad(fused)(x, *args[1:])
+    gx_r = jax.grad(ref)(mask_x(x), *args[1:])
+    # the oracle's grad at masked rows is zero by chain rule; the kernels
+    # zero dx explicitly — both must agree everywhere
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(mask_x(gx_r)),
+                               rtol=2e-3, atol=2e-3)
