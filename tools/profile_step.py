@@ -80,6 +80,31 @@ def summarize(logdir: str, top: int = 25):
         print(f"{d / 1e3:9.2f} ms {cnt[name]:5d}x  {name[:100]}")
 
 
+def build_rollout(model: str = "fno"):
+    """The bench.py rollout (scan of eval forwards) at bench shapes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realpdebench_tpu.data.normalizer import IdentityNormalizer
+    from realpdebench_tpu.eval.rollout import make_rollout_fn
+    from realpdebench_tpu.models.registry import build_model
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from model_bench import MODELS
+
+    spec = MODELS[model]
+    b = build_model(shapes=(SHAPE, SHAPE), **spec["kw"])
+    v = b.init(jax.random.PRNGKey(0), np.zeros((1, *SHAPE), np.float32))
+    n_steps, batch = 10, 8  # bench.py N_AUTOREGRESSIVE / EVAL_BATCH
+    roll = make_rollout_fn(b, IdentityNormalizer(), n_steps)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.jit(lambda k: jax.random.normal(
+        k, (batch, *SHAPE), jnp.float32))(k1)
+    y = jax.jit(lambda k: jax.random.normal(
+        k, (batch, SHAPE[0] * n_steps, *SHAPE[1:]), jnp.float32))(k2)
+    return roll, v, x, y, k3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logdir", default="/tmp/jax_trace")
@@ -87,9 +112,22 @@ def main():
                     help="also write the compiled HLO text here")
     ap.add_argument("--model", default="fno",
                     help="model_bench family to profile (default fno)")
+    ap.add_argument("--rollout", action="store_true",
+                    help="profile the eval rollout instead of the train step")
     a = ap.parse_args()
 
     import jax
+
+    if a.rollout:
+        roll, v, x, y, k = build_rollout(a.model)
+        pred, _, _ = roll(v, x, y, k)  # compile + warm
+        jax.block_until_ready(pred)
+        with jax.profiler.trace(a.logdir):
+            for _ in range(3):
+                pred, xn, yn = roll(v, x, y, k)
+            _ = float(jax.device_get(pred[0, 0, 0, 0, 0]))
+        summarize(a.logdir, top=40)
+        return
 
     step, state, x, y, k = build_step(a.model)
     if a.dump_hlo:

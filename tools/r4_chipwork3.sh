@@ -34,4 +34,10 @@ timeout 3600 python tools/fno_kernel_probe.py 30 \
 lg "profile fno (new code)"
 timeout 2400 python tools/profile_step.py --model fno \
   --logdir /tmp/jax_trace_fno_r4b > bench_results/r4/profile_fno_newcode.log 2>&1
+
+# 5. rollout profile (frames/s has been flat for 3 rounds; 4x headroom
+#    vs the eval-forward traffic floor — find where the 49 ms/step goes)
+lg "profile rollout"
+timeout 2400 python tools/profile_step.py --model fno --rollout \
+  --logdir /tmp/jax_trace_roll_r4 > bench_results/r4/profile_rollout.log 2>&1
 lg "all done"
