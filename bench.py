@@ -35,7 +35,8 @@ BATCH = 32
 SHAPE_IN = (20, 64, 128, 3)
 SHAPE_OUT = (20, 64, 128, 3)
 N_AUTOREGRESSIVE = 10
-EVAL_BATCH = 8  # measured best on one v5e: 2753 frames/s vs 1697 at batch 32 (HBM-bound)
+EVAL_BATCH = 8  # re-decided round 4: 6734 f/s @8 vs 6668 @32, 64 OOMs
+# (bench_results/r4/rollout_sweep.jsonl — per-frame cost is batch-invariant)
 
 
 def main():
@@ -74,7 +75,10 @@ def main():
     # approximation of the full-batch gradient (BN stats are per-microbatch);
     # the deviation is documented and quantified in train/train_step.py and
     # tests/test_fno.py::test_grad_accum_bn_deviation.
-    grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", "4")) if n_chips == 1 else 1
+    # accum=1 fits 16G HBM since the round-4 traffic cut (bf16 packed
+    # spectra) and measured +2.9% over accum=4 (bench_results/r4/
+    # ab_experiments.jsonl: 4.015 vs 3.903 steps/s)
+    grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", "1")) if n_chips == 1 else 1
     step = make_train_step(bundle, IdentityNormalizer(), grad_accum=grad_accum)
 
     # warmup / compile (two steps: the first may include autotuning)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -306,8 +307,16 @@ def main():
             if line:
                 res = json.loads(line[-1])
             else:
-                tail = (out.stderr or out.stdout).strip().splitlines()[-4:]
-                res = dict(model=name, error=" | ".join(tail)[-300:])
+                lines = (out.stderr or out.stdout).strip().splitlines()
+                # JAX appends its traceback-filtering notice AFTER the
+                # exception line; scan backwards for the real error.
+                exc = next(
+                    (ln for ln in reversed(lines)
+                     if re.match(r"\s*[\w.]*(Error|Exception|Exhausted)", ln)
+                     or "RESOURCE_EXHAUSTED" in ln),
+                    " | ".join(lines[-4:]),
+                )
+                res = dict(model=name, error=exc.strip()[-300:])
         except subprocess.TimeoutExpired:
             res = dict(model=name, error="timeout")
         if "error" not in res:
