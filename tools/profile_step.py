@@ -57,6 +57,8 @@ def build_step(model: str = "fno"):
 
 
 def summarize(logdir: str, top: int = 25):
+    import re
+
     traces = sorted(glob.glob(os.path.join(
         logdir, "plugins", "profile", "*", "*.trace.json.gz")))
     if not traces:
@@ -74,10 +76,32 @@ def summarize(logdir: str, top: int = 25):
         if e.get("ph") == "X" and (not dev or e.get("pid") in dev):
             tot[e.get("name", "")] += e.get("dur", 0)
             cnt[e.get("name", "")] += 1
+    # the outer jit__step / while wrappers double-count their children;
+    # drop container events from the leaf accounting
+    leaf_tot = {n: d for n, d in tot.items()
+                if not (n.startswith("jit_") or n.startswith("while")
+                        or n.isdigit())}
+    total = sum(leaf_tot.values())
     print(f"device op time: {sum(tot.values()) / 1e3:.1f} ms "
-          f"({sum(cnt.values())} events)")
-    for name, d in tot.most_common(top):
-        print(f"{d / 1e3:9.2f} ms {cnt[name]:5d}x  {name[:100]}")
+          f"({sum(cnt.values())} events); leaf ops {total / 1e3:.1f} ms")
+    run = 0
+    for name, d in sorted(leaf_tot.items(), key=lambda kv: -kv[1])[:top]:
+        run += d
+        print(f"{d / 1e3:9.2f} ms {cnt[name]:5d}x {100 * d / total:5.1f}% "
+              f"cum {100 * run / total:5.1f}%  {name[:90]}")
+    # grouped view: strip trailing .NNN ids so 40 conv fusions roll up
+    groups = collections.Counter()
+    gcnt = collections.Counter()
+    for n, d in leaf_tot.items():
+        g = re.sub(r"[.\d]+$", "", n) or n
+        groups[g] += d
+        gcnt[g] += cnt[n]
+    print("-- grouped by op family --")
+    run = 0
+    for g, d in groups.most_common(25):
+        run += d
+        print(f"{d / 1e3:9.2f} ms {gcnt[g]:5d}x {100 * d / total:5.1f}% "
+              f"cum {100 * run / total:5.1f}%  {g[:90]}")
 
 
 def build_rollout(model: str = "fno"):
