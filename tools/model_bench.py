@@ -312,11 +312,11 @@ def main():
                 # exception line; scan backwards for the real error.
                 exc = next(
                     (ln for ln in reversed(lines)
-                     if re.match(r"\s*[\w.]*(Error|Exception|Exhausted)", ln)
-                     or "RESOURCE_EXHAUSTED" in ln),
+                     if re.search(r"(Error|Exception|Exhausted)", ln)),
                     " | ".join(lines[-4:]),
                 )
-                res = dict(model=name, error=exc.strip()[-300:])
+                res = dict(model=name, error=exc.strip()[-300:],
+                           stderr_tail=" | ".join(lines[-12:])[-1200:])
         except subprocess.TimeoutExpired:
             res = dict(model=name, error="timeout")
         if "error" not in res:
