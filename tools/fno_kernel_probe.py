@@ -47,9 +47,12 @@ def build_inputs(aligned: bool, dtype):
     x = mk(ks[0], (BT, R, C2), dtype)
     s = mk(ks[1], (BT, R, C2), dtype)
     ds = mk(ks[2], (BT, R, C2), dtype)
-    y = mk(ks[3], (BT, Y, C2), jnp.float32)
-    g = mk(ks[4], (BT, Y, C2), jnp.float32)
-    dy = mk(ks[5], (BT, Y, C2), jnp.float32)
+    # packed spectra cross the kernel<->mid boundary at the compute dtype
+    # since the round-4 traffic cut (spec_dtype in _layer_calls)
+    spec_dt = dtype if dtype == jnp.bfloat16 else jnp.float32
+    y = mk(ks[3], (BT, Y, C2), spec_dt)
+    g = mk(ks[4], (BT, Y, C2), spec_dt)
+    dy = mk(ks[5], (BT, Y, C2), spec_dt)
     a2 = jnp.ones((1, C2), jnp.float32)
     b2 = jnp.zeros((1, C2), jnp.float32)
     ds1 = 0.01 * jnp.ones((1, C2), jnp.float32)
@@ -76,11 +79,16 @@ def consts(aligned: bool):
             np.float32)[:, None]
     else:
         mask = np.ones((Hp * J, 1), np.float32)
+    # xmask is the pad-early input-validity column; all-ones here (tdims is
+    # None in this probe, so the kernels never apply it — it is only a spec
+    # placeholder after the round-4 pad-early change)
+    xmask = np.ones_like(mask)
     return dict(
-        k1=(cst["E67X"], cst["EhP"]),
-        k2=(cst["IhP"], cst["IwE2"], cst["IwO2"], selET, selOT, mask),
+        k1=(cst["E67X"], cst["EhP"], xmask),
+        k2=(cst["IhP"], cst["IwE2"], cst["IwO2"], selET, selOT, mask, xmask),
         k2a=(cst["IhPT"], cst["IwET"], cst["IwOT"], selE, selO),
-        k12b=(cst["EhPT"], cst["E67T"], cst["E67twT"], selET, selOT, mask),
+        k12b=(cst["EhPT"], cst["E67T"], cst["E67twT"], selET, selOT, mask,
+              xmask),
     )
 
 
