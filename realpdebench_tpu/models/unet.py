@@ -313,49 +313,6 @@ class ResnetBlock(nn.Module):
         return (h + x.astype(self.dtype))
 
 
-class PaddedInitConv(nn.Module):
-    """k×k×k init conv with the input channels zero-padded to 8.
-
-    The round-4 UNet step trace showed XLA computing the init_conv WEIGHT
-    gradient (`f32[7,7,7,3,64]`) as a VPU select+add loop fusion — 102
-    ms/step, the single hottest op — instead of an MXU convolution: with
-    only 3 input channels the filter-gradient convolution falls off the
-    TPU conv emitter's fast path. Zero-padding x (and the kernel view) to
-    8 input channels keeps the math bit-identical (zero channels
-    contribute nothing; their dw slices are discarded by pad's vjp) while
-    giving the wgrad a tileable contraction. Param tree matches nn.Conv
-    exactly (kernel [k,k,k,Cin,Cout], bias [Cout]).
-    ``REALPDEBENCH_UNET_INITPAD=0`` opts out (A/B), falling back to the
-    plain nn.Conv lowering.
-    """
-
-    dim_out: int
-    kernel_size: int = 7
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        from realpdebench_tpu.utils.misc import env_flag
-
-        ks, cin = self.kernel_size, x.shape[-1]
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (ks, ks, ks, cin, self.dim_out), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.dim_out,))
-        pad_to = 8
-        if cin >= pad_to or not env_flag("REALPDEBENCH_UNET_INITPAD",
-                                         default=True):
-            x8, w8 = x, kernel
-        else:
-            x8 = jnp.pad(x, ((0, 0),) * 4 + ((0, pad_to - cin),))
-            w8 = jnp.pad(kernel, ((0, 0),) * 3 + ((0, pad_to - cin), (0, 0)))
-        out = jax.lax.conv_general_dilated(
-            x8.astype(self.dtype), w8.astype(self.dtype),
-            window_strides=(1, 1, 1), padding="SAME",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        return out + bias.astype(self.dtype)
-
-
 def sinusoidal_pos_emb(t, dim):
     half = dim // 2
     emb = math.log(10000) / (half - 1)
@@ -407,8 +364,14 @@ class Unet3d(nn.Module):
         )(self.out_time)
 
         ks = self.init_kernel_size
-        x = PaddedInitConv(self.dim, kernel_size=ks,
-                           dtype=self.compute_dtype, name="init_conv")(x)
+        # NOTE: a Cin 3->8 zero-pad of this conv was tried (round 4) on the
+        # theory that the f32[7,7,7,3,64] weight-gradient's select+add VPU
+        # lowering was the hot op; the full-model A/B measured 0.498 vs
+        # 0.499 steps/s (null) and an isolated grad-of-conv probe showed
+        # all formulations equal (tools/conv_wgrad_probe.py), so the lever
+        # was removed.
+        x = nn.Conv(self.dim, kernel_size=(ks, ks, ks), padding="SAME",
+                    name="init_conv", dtype=self.compute_dtype)(x)
         x = x + TA(
             self.dim, self.attn_heads, self.attn_dim_head, dtype=self.compute_dtype,
             name="init_temporal_attn",

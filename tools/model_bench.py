@@ -36,7 +36,11 @@ MODELS = {
     "fno": dict(
         kw=dict(model_name="fno", modes1=4, modes2=12, modes3=16, n_layers=4,
                 width=64, compute_dtype="bfloat16", remat=False),
-        batch=32, accum=4),
+        # accum=1 fits HBM since the round-4 traffic cut (bf16 packed
+        # spectra) and kills the 13.5 ms/step grad-accum weight adds
+        # (+2.9% measured; bench_results/r4/ab_experiments.jsonl) — matches
+        # bench.py's headline config
+        batch=32, accum=1),
     "deeponet": dict(
         kw=dict(model_name="deeponet", p=128, dropout_rate=0.1,
                 compute_dtype="bfloat16"),
@@ -45,8 +49,11 @@ MODELS = {
         kw=dict(model_name="unet", dim_mults=[1, 2, 4],
                 compute_dtype="bfloat16", remat=False),
         # remat off: bf16 + the fused temporal-attention kernel fit bs12
-        # accum4 without block replay (0.351 -> 0.462 steps/s on chip)
-        batch=12, accum=4),
+        # accum4 without block replay (0.351 -> 0.462 steps/s on chip).
+        # accum=3 (microbatch 4): removes the B=3->4 sublane-pad third on
+        # every {4,0,3,2,1:T(4,128)(2,1)} activation — 0.499 -> 0.632
+        # steps/s measured (bench_results/r4/ab_experiments.jsonl)
+        batch=12, accum=3),
     "cno": dict(
         kw=dict(model_name="cno", N_layers=3, N_res=1, N_res_neck=8,
                 channel_multiplier=32, latent_lift_proj_dim=64,
