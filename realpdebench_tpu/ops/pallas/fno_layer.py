@@ -728,6 +728,23 @@ def _t_consts(Tp: int, m1: int):
             np.ascontiguousarray(It.imag.astype(np.float32)))
 
 
+def _flavored_einsum(use_bf16: bool):
+    """The mid-section einsum flavor as a function of the static flag:
+    bf16 operands + f32 accumulation, or plain f32."""
+    if not use_bf16:
+        return jnp.einsum
+    dt = jnp.bfloat16
+    # this CPU thunk runtime cannot lower BF16xBF16=F32 dots
+    pet = (None if jax.default_backend() == "cpu" else jnp.float32)
+    _es = jnp.einsum
+
+    def jnp_einsum(eq_, a, b):
+        return _es(eq_, a.astype(dt), b.astype(dt),
+                   preferred_element_type=pet).astype(jnp.float32)
+
+    return jnp_einsum
+
+
 def _mid_einsum(mid_dtype):
     """Select the mid-section einsum flavor: bf16 operands + f32 accumulation
     when the fused layer itself runs bf16 (halves HBM traffic, ~1e-3 rel
@@ -738,21 +755,55 @@ def _mid_einsum(mid_dtype):
     env = os.environ.get("REALPDEBENCH_FNO_MID")
     use_bf16 = (env == "bf16" if env in ("bf16", "f32")
                 else mid_dtype == jnp.bfloat16)
-    if not use_bf16:
-        return jnp.einsum, False
-    dt = jnp.bfloat16
-    # this CPU thunk runtime cannot lower BF16xBF16=F32 dots
-    pet = (None if jax.default_backend() == "cpu" else jnp.float32)
-    _es = jnp.einsum
-
-    def jnp_einsum(eq_, a, b):
-        return _es(eq_, a.astype(dt), b.astype(dt),
-                   preferred_element_type=pet).astype(jnp.float32)
-
-    return jnp_einsum, True
+    return _flavored_einsum(use_bf16), use_bf16
 
 
-def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum):
+def _pack_w2(w_real, w_imag):
+    """2x2 block-complex corner weight: [re | im] input lanes are mixed to
+    [re | im] output lanes by ``[[wr, wi], [-wi, wr]]`` ([4, 2Ci, 2Co, m.])."""
+    top = jnp.concatenate([w_real, w_imag], axis=2)
+    bot = jnp.concatenate([-w_imag, w_real], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _corner_gemm(use_bf16, x2, w_real, w_imag):
+    """Corner GEMM with a direct weight-gradient VJP.
+
+    Autodiff of ``einsum(x2, pack(wr, wi))`` materializes the x4-duplicated
+    ``dw2`` ([4, 2C, 2C, m1, m2, m3] f32 ≈ 201 MB per layer at headline
+    scale — the `convert_bitcast_fusion.23-26` sites in the round-4 trace)
+    and folds it back to dwr/dwi through slice+add+convert fusions. The
+    custom VJP computes the four half-lane dwr/dwi einsums directly
+    (50 MB outputs) — half the HBM writes, no converts."""
+    e = _flavored_einsum(use_bf16)
+    return e("bkxyzi,kioxyz->bkxyzo", x2, _pack_w2(w_real, w_imag))
+
+
+def _corner_gemm_fwd(use_bf16, x2, w_real, w_imag):
+    e = _flavored_einsum(use_bf16)
+    w2 = _pack_w2(w_real, w_imag)
+    return e("bkxyzi,kioxyz->bkxyzo", x2, w2), (x2, w2)
+
+
+def _corner_gemm_bwd(use_bf16, res, dg):
+    x2, w2 = res
+    e = _flavored_einsum(use_bf16)
+    ci, co = x2.shape[-1] // 2, dg.shape[-1] // 2
+    dx2 = e("bkxyzo,kioxyz->bkxyzi", dg, w2)
+    xr, xi = x2[..., :ci], x2[..., ci:]
+    dgr, dgi = dg[..., :co], dg[..., co:]
+    # out_r = xr wr - xi wi ; out_i = xr wi + xi wr  (per corner k)
+    wg = "bkxyzi,bkxyzo->kioxyz"
+    dwr = e(wg, xr, dgr) + e(wg, xi, dgi)
+    dwi = e(wg, xr, dgi) - e(wg, xi, dgr)
+    return dx2, dwr, dwi
+
+
+_corner_gemm.defvjp(_corner_gemm_fwd, _corner_gemm_bwd)
+
+
+def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum, use_bf16):
     """Packed-lane mid-section: the [re*C | im*C] lane packing of the
     spectra is kept END TO END, so the 128-lane dim is never split.
 
@@ -793,10 +844,12 @@ def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum):
     x2 = jnp.stack(
         [z5[:, :m1, :m2], z5[:, m1:, :m2], z5[:, :m1, m2:], z5[:, m1:, m2:]],
         axis=1)                                     # [B, 4, m1, m2, m3, 2C]
-    top = jnp.concatenate([w_real, w_imag], axis=2)
-    bot = jnp.concatenate([-w_imag, w_real], axis=2)
-    w2 = jnp.concatenate([top, bot], axis=1)        # [4, 2Ci, 2Co, m.]
-    out2 = jnp_einsum("bkxyzi,kioxyz->bkxyzo", x2, w2)
+    from realpdebench_tpu.utils.misc import env_flag
+
+    if env_flag("REALPDEBENCH_FNO_CORNER_VJP", default=True):
+        out2 = _corner_gemm(use_bf16, x2, w_real, w_imag)
+    else:  # A/B: autodiff through the packed w2 (duplicated dw2 + converts)
+        out2 = jnp_einsum("bkxyzi,kioxyz->bkxyzo", x2, _pack_w2(w_real, w_imag))
 
     gtop = jnp.concatenate([out2[:, 0], out2[:, 2]], axis=2)
     gbot = jnp.concatenate([out2[:, 1], out2[:, 3]], axis=2)
@@ -824,9 +877,10 @@ def mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=None):
     reference shape for the block-corner parity test)."""
     import os
 
-    jnp_einsum, _ = _mid_einsum(mid_dtype)
+    jnp_einsum, use_bf16 = _mid_einsum(mid_dtype)
     if os.environ.get("REALPDEBENCH_FNO_CORNER", "block") == "block":
-        return _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum)
+        return _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum,
+                                    use_bf16)
 
     _, Cin, Cout, m1, m2, m3 = w_real.shape
     BT, Y, C2 = y.shape

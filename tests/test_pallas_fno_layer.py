@@ -251,6 +251,35 @@ def test_mid_spectral_block_corner_parity(monkeypatch):
                                    atol=2e-5 * np.abs(w).max())
 
 
+@pytest.mark.parametrize("mid", ["f32", "bf16"])
+def test_corner_gemm_custom_vjp_matches_autodiff(monkeypatch, mid):
+    """The corner GEMM's direct dwr/dwi VJP (default) computes the same
+    gradients as autodiff through the packed w2
+    (REALPDEBENCH_FNO_CORNER_VJP=0) — same contractions, reordered, so
+    f32 agrees to float rounding; bf16 differs only in the wgrad dot
+    keeping dg in bf16 instead of f32 (~1e-3 rel)."""
+    from realpdebench_tpu.ops.pallas.fno_layer import mid_spectral
+
+    r = np.random.default_rng(11)
+    y = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
+    wr = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    wi = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    ct = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
+    monkeypatch.setenv("REALPDEBENCH_FNO_MID", mid)
+
+    def run():
+        out, vjp = jax.vjp(lambda *a: mid_spectral(*a, B, Tp), y, wr, wi)
+        return (np.asarray(out), *(np.asarray(g) for g in vjp(ct)))
+
+    monkeypatch.setenv("REALPDEBENCH_FNO_CORNER_VJP", "0")
+    want = run()
+    monkeypatch.setenv("REALPDEBENCH_FNO_CORNER_VJP", "1")
+    got = run()
+    tol = 2e-5 if mid == "f32" else 6e-3
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=tol, atol=tol * np.abs(w).max())
+
+
 # --- aligned (Strategy-B) layout: pre-padded [Hp8*J8, 2C] activations ------
 
 _J = Wp // 2
