@@ -197,15 +197,24 @@ def main():
     rollout = make_rollout_fn(bundle, IdentityNormalizer(), N_AUTOREGRESSIVE)
     pred, _, _ = rollout(eval_vars, xr, yr, key)
     jax.block_until_ready(pred)
-    n_rep = 5
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        pred, _, _ = rollout(eval_vars, xr, yr, key)
-        # chain iterations so an async runtime cannot overlap them
-        xr = xr + 0.0 * pred[:, : SHAPE_IN[0]]
-    _ = float(np.asarray(jax.device_get(pred[0, 0, 0, 0, 0])))  # real barrier
-    roll_dt = (time.perf_counter() - t0) / n_rep
-    frames_per_sec = EVAL_BATCH * N_AUTOREGRESSIVE * SHAPE_OUT[0] / roll_dt
+    # same multi-window median as the train measurement above: a single
+    # window through the tunnel can be skewed ~2x by remote-compile-service
+    # contention / stalls (round-4: one-window rollout read 3236 f/s while
+    # tools/rollout_sweep.py's 3-window medians read 6668-6734 across batch
+    # sizes with exact batch-linearity — the single window ate a stall)
+    roll_rates = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            pred, _, _ = rollout(eval_vars, xr, yr, key)
+            # chain iterations so an async runtime cannot overlap them
+            xr = xr + 0.0 * pred[:, : SHAPE_IN[0]]
+        _ = float(np.asarray(jax.device_get(pred[0, 0, 0, 0, 0])))  # barrier
+        roll_rates.append(
+            3 * EVAL_BATCH * N_AUTOREGRESSIVE * SHAPE_OUT[0]
+            / (time.perf_counter() - t0))
+    roll_rates.sort()
+    frames_per_sec = roll_rates[len(roll_rates) // 2]
 
     result = {
         "metric": "train steps/sec/chip (cylinder FNO, bs32)",
@@ -217,6 +226,7 @@ def main():
         "window_spread": round(spread, 3),
         "n_stalled_windows": n_stalled,
         "rollout_frames_per_sec": round(frames_per_sec, 1),
+        "rollout_window_rates": [round(r, 1) for r in roll_rates],
         "n_chips": n_chips,
         "device": str(jax.devices()[0].platform),
         "final_loss": final_loss,
