@@ -215,7 +215,13 @@ class FNO3d(nn.Module):
     pallas_interpret: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, y=None):
+        """``y``: optional target [B, t_out, H, W, c_out]. When given, the
+        return value is the scalar MSE train loss instead of the prediction
+        — on the fused path this engages the K3 tail+loss kernel
+        (ops/pallas/fno_tail.py): the fc1 activation and the 21×-padded
+        prediction tensor never exist in HBM. Parameter/batch_stats trees
+        are identical in both modes."""
         B = x.shape[0]
         T, H, W = x.shape[1], x.shape[2], x.shape[3]
         t_in, c_out, t_out = self.shape_in[0], self.shape_out[-1], self.shape_out[0]
@@ -237,7 +243,9 @@ class FNO3d(nn.Module):
             # entirely in the packed-lane flat layout: the 5-D channels-last
             # tensors (64 lanes → 2x tile padding, pad/slice/flatten copies)
             # never materialize between fc0 and fc2
-            x = self._fused_forward(x, train, c_out * mult)
+            x = self._fused_forward(x, train, c_out * mult, y=y)
+            if x.ndim == 0:
+                return x  # K3 engaged: x is already the scalar loss
         else:
             x = nn.Dense(self.width, name="fc0", dtype=dt)(x)
             # end-pad (T, H, W) for non-periodic domains (fno.py:111)
@@ -261,9 +269,14 @@ class FNO3d(nn.Module):
         # [B,T,H,W,c_out*mult] -> [B,T,H,W,c_out,mult] -> [B,T,mult,H,W,c_out]
         x = x.reshape(B, T, H, W, c_out, mult)
         x = jnp.transpose(x, (0, 1, 5, 2, 3, 4))
-        return x.reshape(B, t_out, H, W, c_out)
+        pred = x.reshape(B, t_out, H, W, c_out)
+        if y is not None:
+            # loss-in-module fallback (unfused path / K3 opted out): same
+            # value as ModelBundle's default mse(pred, y)
+            return jnp.mean((pred - y.astype(jnp.float32)) ** 2)
+        return pred
 
-    def _fused_forward(self, xg, train: bool, out_features: int):
+    def _fused_forward(self, xg, train: bool, out_features: int, y=None):
         """Head (fc0) → spectral stack → tail (fc1/fc2), all in the packed
         (w-parity, channel) flat layout.
 
@@ -375,14 +388,35 @@ class FNO3d(nn.Module):
         # the 276 MB activation never takes a separate affine pass (the
         # round-4 trace showed that pass materializing in f32 — ~5 ms/step
         # of pure glue). The fold happens on the [C, 128] weight in f32.
-        z4 = xf.reshape(B, Tp, Hr, Jr, C2)[:, :T, :H, :J0]
-        zt = z4.reshape(B * T, H * J0, C2).astype(dt)
         k1_, b1_ = _DenseParams(128, C, name="fc1")()
         k1f = k1_ * a[0][:, None]
         b1f = b1_ + b[0] @ k1_
+        k2_, b2_ = _DenseParams(out_features, 128, name="fc2")()
+        if (y is not None and aligned
+                and env_flag("REALPDEBENCH_FNO_FUSED_LOSS", default=True)):
+            # K3 fused tail+loss: crop+fc1+gelu+fc2+SSE in one kernel pair —
+            # the fc1 activation (~1.3 GB bf16/step at headline scale) and
+            # the 21×-lane-padded prediction never exist in HBM
+            from realpdebench_tpu.ops.pallas.fno_tail import (
+                fused_tail_loss, pack_target_lane_major)
+
+            F = out_features
+            mult_ = F // self.shape_out[-1]
+            y_lm = pack_target_lane_major(
+                y, B=B, T=T, H=H, W=W, c_out=self.shape_out[-1],
+                mult=mult_, Tp=Tp, Hr=Hr, Jr=Jr)
+            F2p = y_lm.shape[1]
+            k2p = jnp.pad(bdiag(k2_), ((0, 0), (0, F2p - 2 * F)))
+            b2p = jnp.pad(tile2(b2_)[None], ((0, 0), (0, F2p - 2 * F)))
+            sse = fused_tail_loss(
+                xf, y_lm, bdiag(k1f), tile2(b1f)[None], k2p, b2p,
+                dims=(B, Tp, Hr, Jr, C), tail_dims=(T, H, J0),
+                act=act_variant, interpret=self.pallas_interpret)
+            return sse / (B * T * H * W * F)
+        z4 = xf.reshape(B, Tp, Hr, Jr, C2)[:, :T, :H, :J0]
+        zt = z4.reshape(B * T, H * J0, C2).astype(dt)
         h1 = act_gelu(jnp.einsum("rjc,cd->rjd", zt, bdiag(k1f).astype(dt))
                       + tile2(b1f).astype(dt))
-        k2_, b2_ = _DenseParams(out_features, 128, name="fc2")()
         o2 = (jnp.einsum("rjc,cd->rjd", h1, bdiag(k2_).astype(dt))
               + tile2(b2_).astype(dt))
         # unpack (w-parity, c) lanes → [B, T, H, W, out_features]

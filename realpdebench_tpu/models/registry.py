@@ -49,9 +49,19 @@ def build_model(train_dataset=None, shapes=None, **kwargs) -> ModelBundle:
             use_pallas=None if use_pallas is None else bool(use_pallas),
             pallas_interpret=bool(kwargs.get("pallas_interpret", False)),
         )
+        def _fno_loss(mod, variables, x, y, rng, train):
+            # loss-in-module: lets the fused path engage the K3 tail+loss
+            # kernel (ops/pallas/fno_tail.py) — the value equals the default
+            # mse(pred, y) on every path (tests/test_pallas_fno_tail.py)
+            if train:
+                loss, new_state = mod.apply(
+                    variables, x, y=y, train=True, mutable=["batch_stats"])
+                return loss, new_state
+            return mod.apply(variables, x, y=y, train=False), {}
+
         return ModelBundle(
             name="fno", module=module, mutable=("batch_stats",),
-            needs_train_flag=True,
+            needs_train_flag=True, loss_fn=_fno_loss,
         )
 
     if model_name == "deeponet":

@@ -834,11 +834,15 @@ def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum, use_bf16):
     S = jnp.asarray(np.block([[zC, eyeC], [-eyeC, zC]]))
 
     y4 = y.reshape(B, Tp, Y, C2)
-    ySw = jnp_einsum("btyl,lm->btym", y4, S)
     # forward T-DFT: zr = Et_R yr - Et_I yi ; zi = Et_I yr + Et_R yi
-    #   = einsum(y, EtR) + einsum([-yi | yr], EtI), lane-packed
+    #   = einsum(y, EtR) + einsum(y, EtI) @ S, lane-packed. The S lane-swap
+    #   commutes with the t-contraction, so it runs on the SMALL
+    #   [B, 2m1, Y, C2] side (2m1=8 vs Tp=26 rows at headline scale) and the
+    #   full-size ySw tensor never materializes (round-4 resumed: the
+    #   ySw S-GEMM was the single biggest mid-section op)
+    zI = jnp_einsum("btyl,tk->bkyl", y4, EtI)
     z = (jnp_einsum("btyl,tk->bkyl", y4, EtR)
-         + jnp_einsum("btyl,tk->bkyl", ySw, EtI))   # [B, 2m1, Y, C2]
+         + jnp_einsum("bkyl,lm->bkym", zI, S))      # [B, 2m1, Y, C2]
     z5 = z.reshape(B, 2 * m1, 2 * m2, m3, C2)
 
     x2 = jnp.stack(
