@@ -622,7 +622,7 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
                 m1: int, m2: int, m3: int,
                 act: str, interpret: bool, x_dtype_str: str,
                 aligned: bool = False, kks: tuple = (1, 1, 1, 1),
-                in_valid=None):
+                in_valid=None, tstage=None):
     """One fused FNO layer as a single custom_vjp:
 
       fwd:  K1 → mid_spectral (XLA) → K2
@@ -676,7 +676,8 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
         wp2 = _block_diag2(wp.astype(jnp.float32))
         bp2 = jnp.concatenate([bp, bp], axis=1).astype(jnp.float32)
         y = k1_call(x, a2, b2, *k1_consts)
-        g = mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=x_dtype)
+        g = mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=x_dtype,
+                         tstage=tstage, interpret=interpret)
         s, stats = k2_call(g, x, a2, b2, wp2, bp2, *k2_consts)
         return (s, stats), y
 
@@ -700,7 +701,9 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
         # carries the spectral-weight gradients and maps dg back to dy
         _, mid_vjp = jax.vjp(
             lambda y_, wr_, wi_: mid_spectral(y_, wr_, wi_, B, Tp,
-                                              mid_dtype=x_dtype),
+                                              mid_dtype=x_dtype,
+                                              tstage=tstage,
+                                              interpret=interpret),
             y, w_real, w_imag)
         dy, dwr, dwi = mid_vjp(dg)
         dx, dwp2, dvec = k12b_call(x, a2, b2, wp2t, s, ds, ds1, ds2, dy,
@@ -726,6 +729,147 @@ def _t_consts(Tp: int, m1: int):
             np.ascontiguousarray(Et.imag.astype(np.float32)),
             np.ascontiguousarray(It.real.astype(np.float32)),
             np.ascontiguousarray(It.imag.astype(np.float32)))
+
+
+# ---------------------------------------------------------------------------
+# T-stage pallas kernels: contract the t axis without XLA's spectrum copies
+# ---------------------------------------------------------------------------
+#
+# The round-4 K3-code profile showed ~18 ms/step of `copy` glue: every
+# T-DFT/inverse-T einsum ("btyl,tk->bkyl") makes XLA relayout the packed
+# spectrum [B, Tp, Y, C2] into a t-sublane layout {3,1,2,0} first — a full
+# read+write of the 82 MB tensor per einsum, ~16-22 times per step. These
+# kernels do the t-contraction straight from the kernels' natural
+# [B·Tin, Y, C2] row layout, so the spectra never take a relayout pass:
+#
+#   out[b·Tout+k, y, l] = Σ_t MR[t,k]·y[b·Tin+t, y, l]
+#                       + Σ_m S[m,l]·(Σ_t MI[t,k]·y[b·Tin+t, y, m])
+#
+# (S = [[0,I],[-I,0]] is the lane-half swap that carries the complex cross
+# terms in the [re | im] lane packing — same selection-GEMM trick as
+# _mid_spectral_packed, and it commutes with the t-contraction.)
+#
+# Two in-kernel formulations, selected by REALPDEBENCH_FNO_TSTAGE
+# (default 'mxu'; 'vpu' is the A/B alternative; 'xla' restores the einsums):
+#   * 'mxu': one dim0-of-2D dot against [MR | MI] on the lane-merged
+#     [Tin, Y·C2] view (one Mosaic relayout of the 2.6 MB block, then MXU);
+#   * 'vpu': unrolled scalar-FMA accumulation over t planes — MR/MI are
+#     compile-time python floats, each output row-image is a Σ_t of
+#     [Y, C2] vreg planes (no relayout at all, ~0.3 M vreg-FMAs/block).
+# The linear map's adjoint is the same kernel with (MRᵀ, -MIᵀ), wrapped in
+# a custom_vjp so autodiff through mid_spectral keeps working.
+
+
+def _tstage_mxu_kernel(y_ref, m12_ref, s_ref, o_ref, *, Tin, Tout, To8, mxu):
+    Yc, C2 = y_ref.shape[1], y_ref.shape[2]
+    yv = y_ref[...].reshape(Tin, Yc * C2)
+    z12 = _dot(m12_ref[:], yv, (((1,), (0,))), mxu)     # [2·To8, Yc·C2]
+    z3 = z12.reshape(2 * To8, Yc, C2)
+    z1 = z3[0:Tout]
+    z2 = z3[To8:To8 + Tout]
+    z2s = _dot(z2, s_ref[:], (((2,), (0,))), mxu)       # minormost-of-3D
+    o_ref[...] = (z1 + z2s).astype(o_ref.dtype)
+
+
+def _tstage_vpu_kernel(y_ref, s_ref, o_ref, *, MR, MI, Tin, Tout, mxu):
+    planes = [y_ref[t].astype(jnp.float32) for t in range(Tin)]
+
+    def comb(M, k):
+        terms = [planes[t] * float(M[t, k]) for t in range(Tin)
+                 if M[t, k] != 0.0]
+        return functools.reduce(lambda a, b: a + b, terms) if terms else (
+            jnp.zeros_like(planes[0]))
+
+    z1 = jnp.stack([comb(MR, k) for k in range(Tout)], axis=0)
+    z2 = jnp.stack([comb(MI, k) for k in range(Tout)], axis=0)
+    z2s = _dot(z2, s_ref[:], (((2,), (0,))), mxu)
+    o_ref[...] = (z1 + z2s).astype(o_ref.dtype)
+
+
+def _tstage_mats(kind: str, Tp: int, m1: int):
+    """(MR, MI) for the four linear T-stage maps. 'et': Tp→2m1 forward
+    T-DFT; 'it': 2m1→Tp inverse; '*_adj': their adjoints (MRᵀ, -MIᵀ —
+    Sᵀ = -S carries the sign)."""
+    EtR, EtI, ItR, ItI = _t_consts(Tp, m1)
+    if kind == "et":
+        return EtR, EtI
+    if kind == "it":
+        return ItR, ItI
+    if kind == "et_adj":
+        return (np.ascontiguousarray(EtR.T),
+                np.ascontiguousarray(-EtI.T))
+    if kind == "it_adj":
+        return (np.ascontiguousarray(ItR.T),
+                np.ascontiguousarray(-ItI.T))
+    raise ValueError(kind)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_tstage(kind: str, Tp: int, m1: int, B: int, Y: int, C2: int,
+                 dtype_str: str, variant: str, interpret: bool):
+    MR, MI = _tstage_mats(kind, Tp, m1)
+    Tin, Tout = MR.shape
+    dtype = jnp.dtype(dtype_str)
+    mxu = jnp.bfloat16 if dtype == jnp.bfloat16 else None
+    C = C2 // 2
+    eyeC = np.eye(C, dtype=np.float32)
+    zC = np.zeros((C, C), np.float32)
+    S = np.block([[zC, eyeC], [-eyeC, zC]]).astype(np.float32)
+    cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)
+    if variant == "mxu":
+        To8 = -(-Tout // 8) * 8
+        pad = lambda M: np.pad(M, ((0, 0), (0, To8 - Tout)))
+        m12 = np.concatenate([pad(MR), pad(MI)], axis=1).T  # [2·To8, Tin]
+        call = pl.pallas_call(
+            functools.partial(_tstage_mxu_kernel, Tin=Tin, Tout=Tout,
+                              To8=To8, mxu=mxu),
+            grid=(B,),
+            in_specs=[_blk(Tin, Y, C2), _full(), _full()],
+            out_specs=_blk(Tout, Y, C2),
+            out_shape=jax.ShapeDtypeStruct((B * Tout, Y, C2), dtype),
+            **cp,
+        )
+        return lambda y: call(y, m12, S)
+    if variant == "vpu":
+        call = pl.pallas_call(
+            functools.partial(_tstage_vpu_kernel, MR=MR, MI=MI, Tin=Tin,
+                              Tout=Tout, mxu=mxu),
+            grid=(B,),
+            in_specs=[_blk(Tin, Y, C2), _full()],
+            out_specs=_blk(Tout, Y, C2),
+            out_shape=jax.ShapeDtypeStruct((B * Tout, Y, C2), dtype),
+            **cp,
+        )
+        return lambda y: call(y, S)
+    raise ValueError(variant)
+
+
+_TSTAGE_ADJ = {"et": "et_adj", "it": "it_adj",
+               "et_adj": "et", "it_adj": "it"}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def t_stage(y, kind, Tp, m1, variant, interpret):
+    """Pallas t-contraction on packed spectra: [B·Tin, Y, C2] →
+    [B·Tout, Y, C2] with (Tin, Tout) set by ``kind`` (see _tstage_mats).
+    B is derived from the row count; the spectra keep the kernels' natural
+    row layout end to end (no XLA relayout copy)."""
+    MR, _ = _tstage_mats(kind, Tp, m1)
+    B = y.shape[0] // MR.shape[0]
+    fn = _make_tstage(kind, Tp, m1, B, y.shape[1], y.shape[2],
+                      str(y.dtype), variant, interpret)
+    return fn(y)
+
+
+def _t_stage_fwd(y, kind, Tp, m1, variant, interpret):
+    return t_stage(y, kind, Tp, m1, variant, interpret), None
+
+
+def _t_stage_bwd(kind, Tp, m1, variant, interpret, _res, dout):
+    return (t_stage(dout, _TSTAGE_ADJ[kind], Tp, m1, variant, interpret),)
+
+
+t_stage.defvjp(_t_stage_fwd, _t_stage_bwd)
 
 
 def _flavored_einsum(use_bf16: bool):
@@ -803,7 +947,8 @@ def _corner_gemm_bwd(use_bf16, res, dg):
 _corner_gemm.defvjp(_corner_gemm_fwd, _corner_gemm_bwd)
 
 
-def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum, use_bf16):
+def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum, use_bf16,
+                         tstage=None, interpret=False):
     """Packed-lane mid-section: the [re*C | im*C] lane packing of the
     spectra is kept END TO END, so the 128-lane dim is never split.
 
@@ -833,17 +978,23 @@ def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum, use_bf16):
     # [yr | yi] @ S = [-yi | yr]
     S = jnp.asarray(np.block([[zC, eyeC], [-eyeC, zC]]))
 
-    y4 = y.reshape(B, Tp, Y, C2)
-    # forward T-DFT: zr = Et_R yr - Et_I yi ; zi = Et_I yr + Et_R yi
-    #   = einsum(y, EtR) + einsum(y, EtI) @ S, lane-packed. The S lane-swap
-    #   commutes with the t-contraction, so it runs on the SMALL
-    #   [B, 2m1, Y, C2] side (2m1=8 vs Tp=26 rows at headline scale) and the
-    #   full-size ySw tensor never materializes (round-4 resumed: the
-    #   ySw S-GEMM was the single biggest mid-section op)
-    zI = jnp_einsum("btyl,tk->bkyl", y4, EtI)
-    z = (jnp_einsum("btyl,tk->bkyl", y4, EtR)
-         + jnp_einsum("bkyl,lm->bkym", zI, S))      # [B, 2m1, Y, C2]
-    z5 = z.reshape(B, 2 * m1, 2 * m2, m3, C2)
+    if tstage is not None:
+        # pallas t-contraction straight off the kernels' row layout — the
+        # XLA path below relayouts the full spectrum to a t-sublane layout
+        # for every einsum (~18 ms/step of `copy` in the round-4 K3 trace)
+        z = t_stage(y, "et", Tp, m1, tstage, interpret)  # [B·2m1, Y, C2]
+        z5 = z.reshape(B, 2 * m1, 2 * m2, m3, C2)
+    else:
+        y4 = y.reshape(B, Tp, Y, C2)
+        # forward T-DFT: zr = Et_R yr - Et_I yi ; zi = Et_I yr + Et_R yi
+        #   = einsum(y, EtR) + einsum(y, EtI) @ S, lane-packed. The S
+        #   lane-swap commutes with the t-contraction, so it runs on the
+        #   SMALL [B, 2m1, Y, C2] side (2m1=8 vs Tp=26 rows at headline
+        #   scale) and the full-size ySw tensor never materializes
+        zI = jnp_einsum("btyl,tk->bkyl", y4, EtI)
+        z = (jnp_einsum("btyl,tk->bkyl", y4, EtR)
+             + jnp_einsum("bkyl,lm->bkym", zI, S))   # [B, 2m1, Y, C2]
+        z5 = z.reshape(B, 2 * m1, 2 * m2, m3, C2)
 
     x2 = jnp.stack(
         [z5[:, :m1, :m2], z5[:, m1:, :m2], z5[:, :m1, m2:], z5[:, m1:, m2:]],
@@ -859,6 +1010,9 @@ def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum, use_bf16):
     gbot = jnp.concatenate([out2[:, 1], out2[:, 3]], axis=2)
     g5 = jnp.concatenate([gtop, gbot], axis=1)      # [B, 2m1, 2m2, m3, 2Co]
     g4 = g5.reshape(B, 2 * m1, 2 * m2 * m3, 2 * Cout)
+    if tstage is not None:
+        g3 = g4.reshape(B * 2 * m1, Y, 2 * Cout).astype(y.dtype)
+        return t_stage(g3, "it", Tp, m1, tstage, interpret)  # [B·Tp, Y, 2Co]
     gSw = jnp_einsum("bkyl,lm->bkym", g4, S)
     # inverse T: tr = It_R gr - It_I gi ; ti = It_I gr + It_R gi
     t = (jnp_einsum("bkyl,kt->btyl", g4, ItR)
@@ -868,23 +1022,29 @@ def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum, use_bf16):
     return t.reshape(BT, Y, 2 * Cout).astype(y.dtype)
 
 
-def mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=None):
+def mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=None, tstage=None,
+                 interpret=False):
     """Packed spectra [BT, 2m2*m3, 2C] → T-DFT → corner-block channel mixing
     (fno.py:53-60 order) → inverse T → same packed shape.
 
-    All tensors here are O(B·T·m2·m3·C) — a few MB; runs in plain XLA so
-    autodiff produces the w_real/w_imag gradients.
+    All tensors here are O(B·T·m2·m3·C) — a few MB; the corner mixing runs
+    in plain XLA so autodiff produces the w_real/w_imag gradients.
 
     Default path: lane-packed complex arithmetic + 2x2 block-complex corner
-    GEMM (`_mid_spectral_packed`). ``REALPDEBENCH_FNO_CORNER=split``
-    selects the original split-lane real/imag form (A/B runs; also the
-    reference shape for the block-corner parity test)."""
+    GEMM (`_mid_spectral_packed`). ``tstage`` ('mxu' | 'vpu', from the
+    fused layer) routes the T-DFT/inverse-T through the pallas t_stage
+    kernels instead of XLA einsums (kills the full-spectrum relayout
+    copies); None keeps the einsums (direct callers, tests, A/B).
+    ``REALPDEBENCH_FNO_CORNER=split`` selects the original split-lane
+    real/imag form (A/B runs; also the reference shape for the
+    block-corner parity test)."""
     import os
 
     jnp_einsum, use_bf16 = _mid_einsum(mid_dtype)
     if os.environ.get("REALPDEBENCH_FNO_CORNER", "block") == "block":
         return _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum,
-                                    use_bf16)
+                                    use_bf16, tstage=tstage,
+                                    interpret=interpret)
 
     _, Cin, Cout, m1, m2, m3 = w_real.shape
     BT, Y, C2 = y.shape
@@ -970,8 +1130,15 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
     B, Tp, Hp, Wp, C = dims
     m1, m2, m3 = w_real.shape[3], w_real.shape[4], w_real.shape[5]
     kks = _bt_blocks(B * Tp, aligned)
+    # T-stage variant for the mid-section: pallas t-contraction ('mxu' |
+    # 'vpu') vs the XLA einsums ('xla'); an lru key so in-process flips
+    # (tests, A/B) rebuild the layer
+    import os
+
+    _ts = os.environ.get("REALPDEBENCH_FNO_TSTAGE", "mxu")
+    tstage = None if _ts == "xla" else _ts
     layer = _make_layer(B, Tp, Hp, Wp // 2, C, m1, m2, m3, act, interpret,
-                        str(x.dtype), aligned, kks, in_valid)
+                        str(x.dtype), aligned, kks, in_valid, tstage)
     return layer(x, a, b, w_real, w_imag, wp, bp)
 
 

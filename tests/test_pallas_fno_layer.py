@@ -430,3 +430,47 @@ def test_fused_layer_in_valid_pad_early_parity():
     # zero dx explicitly — both must agree everywhere
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(mask_x(gx_r)),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("variant", ["mxu", "vpu"])
+def test_tstage_kernel_matches_einsum_mid(variant):
+    """The pallas T-stage kernels (both in-kernel formulations) compute the
+    same mid-section as the XLA einsum path — forward and gradients — so
+    the spectra's t-contraction can skip XLA's full-spectrum relayout
+    copies."""
+    from realpdebench_tpu.ops.pallas.fno_layer import mid_spectral
+
+    r = np.random.default_rng(13)
+    y = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
+    wr = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    wi = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    ct = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
+
+    def run(ts):
+        out, vjp = jax.vjp(
+            lambda *a: mid_spectral(*a, B, Tp, tstage=ts, interpret=True),
+            y, wr, wi)
+        return (np.asarray(out), *(np.asarray(g) for g in vjp(ct)))
+
+    want = run(None)
+    got = run(variant)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=2e-5,
+                                   atol=2e-5 * np.abs(w).max())
+
+
+@pytest.mark.parametrize("variant", ["mxu", "vpu"])
+def test_fused_layer_tstage_variants_match_oracle(monkeypatch, variant):
+    """End-to-end fused layer with the T-stage kernel engaged matches the
+    pure-jnp oracle (fwd + stats), aligned layout (the shipped default)."""
+    monkeypatch.setenv("REALPDEBENCH_FNO_TSTAGE", variant)
+    args = _inputs(17)
+    s_al, stats_al = fused_fno_layer(
+        _to_aligned(args[0]), *args[1:], dims=DIMS, act="tanh",
+        interpret=True, aligned=True)
+    s_ref, stats_ref = reference_fused_fno_layer(*args, dims=DIMS, act="tanh")
+    np.testing.assert_allclose(np.asarray(_from_aligned(s_al)),
+                               np.asarray(s_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(_fold(stats_al)),
+                               np.asarray(_fold(stats_ref)),
+                               rtol=2e-4, atol=1e-3)
