@@ -196,7 +196,9 @@ def _read_x(x_ref, xmask_ref, kk, tdims):
 
 def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp, xmask,
                y_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1,
-               tdims=None):
+               tdims=None, selfuse=True):
+    # selfuse is accepted for kwarg uniformity; K1's repacks are all
+    # mode-space (~4x smaller than the K2-family ones the fold targets)
     """``kk`` = BT rows folded per grid block (aligned layout only): the
     per-block fixed cost (~6 µs on v5e, from the round-4 DMA probe's k-sweep)
     amortizes over kk row-images; every dot keeps its contraction and simply
@@ -257,7 +259,7 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp, xmask,
 def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
                ihp, iwe2, iwo2, selET, selOT, mask, xmask,
                s_ref, stats_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1,
-               tdims=None):
+               tdims=None, selfuse=True):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     i = pl.program_id(0)
     C = C2 // 2
@@ -279,30 +281,42 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
     ihRT = ihR.reshape(kk, m3, C, Hp8).transpose(0, 3, 2, 1)  # [kk,Hp8,C,m3]
     ihIT = ihI.reshape(kk, m3, C, Hp8).transpose(0, 3, 2, 1)
     # inverse W per output parity (Hermitian-doubled real projection):
-    # lane-concat (re ‖ im) once, flatten (kk, Hp8, C) into M, contract
-    # against the row-stacked [re; im] inverse matrices — one 2-D dot per
-    # parity
-    ihC = jnp.concatenate([ihRT, ihIT], axis=3).reshape(
-        kk * Hp8 * C, 2 * m3)
-    yE = dot(ihC, iwe2[:], (((1,), (0,))))        # [kk*Hp8*C, J8]
-    yO = dot(ihC, iwo2[:], (((1,), (0,))))
-    if aligned:
-        # keep the aligned layout end-to-end: no slice, padded rows of the
-        # inverse DFTs are exactly zero (IhP/IwE2/IwO2 carry zero pad
-        # rows/cols), so only the pointwise branch writes garbage there
-        yEt = yE.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
-            kk * Hp8 * J8, C)
-        yOt = yO.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
-            kk * Hp8 * J8, C)
+    # lane-concat (re ‖ im) once, contract against the row-stacked [re; im]
+    # inverse matrices
+    if aligned and selfuse:
+        # fold the output repack into the stage dots: contract 2m3 on the
+        # 3-D view (minormost), then contract C against the [C, 2C] parity
+        # selectors (dim1) — the full-size yEt/yOt VPU transposes of the
+        # original form never happen, at the SAME dot count (round-4 final
+        # session; REALPDEBENCH_FNO_SELFUSE=0 restores the transposes)
+        ihC3 = jnp.concatenate([ihRT, ihIT], axis=3).reshape(
+            kk * Hp8, C, 2 * m3)
+        yE3 = dot(ihC3, iwe2[:], (((2,), (0,))))   # [kk*Hp8, C, J8]
+        yO3 = dot(ihC3, iwo2[:], (((2,), (0,))))
+        y2 = (dot(yE3, selET[:], (((1,), (0,))))
+              + dot(yO3, selOT[:], (((1,), (0,))))).reshape(kk * R, C2)
     else:
-        yEt = yE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
-            Hp * J, C)
-        yOt = yO.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
-            Hp * J, C)
-    # big lane concats cost ~8 us/block on this Mosaic (measured); selection
-    # GEMMs against [I|0]/[0|I] run on the MXU at ~0.3 us instead
-    y2 = dot(yEt, selET[:], (((1,), (0,)))) + dot(
-        yOt, selOT[:], (((1,), (0,))))             # [kk*R, C2]
+        ihC = jnp.concatenate([ihRT, ihIT], axis=3).reshape(
+            kk * Hp8 * C, 2 * m3)
+        yE = dot(ihC, iwe2[:], (((1,), (0,))))     # [kk*Hp8*C, J8]
+        yO = dot(ihC, iwo2[:], (((1,), (0,))))
+        if aligned:
+            # keep the aligned layout end-to-end: no slice, padded rows of
+            # the inverse DFTs are exactly zero (IhP/IwE2/IwO2 carry zero
+            # pad rows/cols), so only the pointwise branch writes garbage
+            yEt = yE.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
+                kk * Hp8 * J8, C)
+            yOt = yO.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
+                kk * Hp8 * J8, C)
+        else:
+            yEt = yE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
+                Hp * J, C)
+            yOt = yO.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
+                Hp * J, C)
+        # big lane concats cost ~8 us/block on this Mosaic (measured);
+        # selection GEMMs against [I|0]/[0|I] run on the MXU at ~0.3 us
+        y2 = dot(yEt, selET[:], (((1,), (0,)))) + dot(
+            yOt, selOT[:], (((1,), (0,))))         # [kk*R, C2]
     # pointwise via the block-diagonal [[Wp,0],[0,Wp]] matrix: packed lanes
     # never split
     xm = _read_x(x_ref, xmask, kk, tdims)
@@ -339,7 +353,7 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
 def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
                 ihpt, iwet, iwot, selE, selO,
                 dg_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1,
-                tdims=None):
+                tdims=None, selfuse=True):
     # tdims is accepted for kwarg uniformity with the other kernels but
     # unused: K2A never reads x (pad-early masking is an x-read concern)
     dot = lambda a, b, c: _dot(a, b, c, mxu)
@@ -348,32 +362,48 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
     sm = s_ref[...].reshape(kk * R, C2).astype(jnp.float32)
     dsm = ds_ref[...].reshape(kk * R, C2).astype(jnp.float32)
     ds_eff = dsm + ds1_ref[:] + 2.0 * sm * ds2_ref[:]
-    # adjoint of the output packing: parity selection via GEMMs (big lane
-    # slices cost ~8 us/block on this Mosaic; MXU selection is ~0.3 us)
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
-    dyEf = dot(ds_eff, selE[:], (((1,), (0,))))   # [kk*R, C]
-    dyOf = dot(ds_eff, selO[:], (((1,), (0,))))
-    if aligned:
-        # no mask needed: padded-row garbage in ds_eff (the ds1/ds2
-        # broadcasts are nonzero everywhere) is annihilated downstream —
-        # j >= J rows contract against IwET/IwOT zero rows, h >= Hp columns
-        # against IhPT zero rows
-        pad = lambda a: a.reshape(kk, Hp8, J8, C)
+    if aligned and selfuse:
+        # adjoint inverse W straight off the row layout: contract J8 on the
+        # 3-D view (dim1) for BOTH parity lane-halves at once — the parity
+        # selection becomes a SUBLANE slice of the result (64 = 8-aligned),
+        # at HALF the MXU work of the selection-GEMM form, and the
+        # full-size dyE/dyO transposes never happen
+        ds4 = ds_eff.reshape(kk * Hp8, J8, C2)
+        QE = dot(ds4, iwet[:], (((1,), (0,))))    # [kk*Hp8, C2, 2m3]
+        QO = dot(ds4, iwot[:], (((1,), (0,))))
+        dihRT3 = QE[:, :C, :m3] + QO[:, C:, :m3]  # [kk*Hp8, C, m3]
+        dihIT3 = QE[:, :C, m3:] + QO[:, C:, m3:]
+        dihR = dihRT3.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
+            kk * m3 * C, Hp8)
+        dihI = dihIT3.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
+            kk * m3 * C, Hp8)
     else:
-        pad = lambda a: jnp.pad(a.reshape(Hp, J, C),
-                                ((0, Hp8 - Hp), (0, J8 - J),
-                                 (0, 0)))[None]
-    dyE = pad(dyEf).transpose(0, 1, 3, 2).reshape(kk * Hp8 * C, J8)
-    dyO = pad(dyOf).transpose(0, 1, 3, 2).reshape(kk * Hp8 * C, J8)
-    # adjoint inverse W: [re.T | im.T] packed, (kk, Hp8, C) flattened into M
-    AE = dot(dyE, iwet[:], (((1,), (0,))))        # [kk*Hp8*C, 2m3]
-    AO = dot(dyO, iwot[:], (((1,), (0,))))
-    dihRT = AE[:, :m3] + AO[:, :m3]
-    dihIT = AE[:, m3:] + AO[:, m3:]
-    dihR = dihRT.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
-        kk * m3 * C, Hp8)
-    dihI = dihIT.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
-        kk * m3 * C, Hp8)
+        # adjoint of the output packing: parity selection via GEMMs (big
+        # lane slices cost ~8 us/block on this Mosaic; MXU selection ~0.3)
+        dyEf = dot(ds_eff, selE[:], (((1,), (0,))))   # [kk*R, C]
+        dyOf = dot(ds_eff, selO[:], (((1,), (0,))))
+        if aligned:
+            # no mask needed: padded-row garbage in ds_eff (the ds1/ds2
+            # broadcasts are nonzero everywhere) is annihilated downstream —
+            # j >= J rows contract against IwET/IwOT zero rows, h >= Hp
+            # columns against IhPT zero rows
+            pad = lambda a: a.reshape(kk, Hp8, J8, C)
+        else:
+            pad = lambda a: jnp.pad(a.reshape(Hp, J, C),
+                                    ((0, Hp8 - Hp), (0, J8 - J),
+                                     (0, 0)))[None]
+        dyE = pad(dyEf).transpose(0, 1, 3, 2).reshape(kk * Hp8 * C, J8)
+        dyO = pad(dyOf).transpose(0, 1, 3, 2).reshape(kk * Hp8 * C, J8)
+        # adjoint inverse W: [re.T | im.T] packed, (kk, Hp8, C) into M
+        AE = dot(dyE, iwet[:], (((1,), (0,))))        # [kk*Hp8*C, 2m3]
+        AO = dot(dyO, iwot[:], (((1,), (0,))))
+        dihRT = AE[:, :m3] + AO[:, :m3]
+        dihIT = AE[:, m3:] + AO[:, m3:]
+        dihR = dihRT.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
+            kk * m3 * C, Hp8)
+        dihI = dihIT.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
+            kk * m3 * C, Hp8)
     # adjoint inverse H: [IhR.T | IhI.T] packed, (kk, m3, C) flattened into M
     A = dot(dihR, ihpt[:], (((1,), (0,))))        # [kk*m3*C, 4m2]
     Bm = dot(dihI, ihpt[:], (((1,), (0,))))
@@ -395,7 +425,7 @@ def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
                  ds1_ref, ds2_ref, dy_ref,
                  ehpt, e67t, e67twt, selET, selOT, mask, xmask,
                  dx_ref, dwp2_ref, dvec_ref, *, Hp, J, C2, m3, act, mxu,
-                 aligned, kk=1, tdims=None):
+                 aligned, kk=1, tdims=None, selfuse=True):
     dot = lambda a, b, c: _dot(a, b, c, mxu)
     i = pl.program_id(0)
     C = C2 // 2
@@ -417,23 +447,35 @@ def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
     # adjoint of the twiddle-folded W stage: even-parity channels see
     # E67.T, odd-parity see (E67·tw).T; lanes re-merged via selection GEMMs
     # (mirrors K2's inverse-W structure)
-    dXY = jnp.concatenate([dXr, dXi], axis=3).reshape(kk * Hp8 * C, 2 * m3)
-    dzE = dot(dXY, e67t[:], (((1,), (0,))))       # [kk*Hp8*C, J8]
-    dzO = dot(dXY, e67twt[:], (((1,), (0,))))
-    if aligned:
-        # padded rows of dzE/dzO are exactly zero (EhPT/E67T/E67twT carry
-        # zero pad rows/cols) — keep the aligned layout, no slice
-        dzEt = dzE.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
-            kk * Hp8 * J8, C)
-        dzOt = dzO.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
-            kk * Hp8 * J8, C)
+    if aligned and selfuse:
+        # same repack fold as K2: contract 2m3 on the 3-D view (minormost),
+        # then contract C against the parity selectors (dim1) — no
+        # full-size dzEt/dzOt transposes
+        dXY3 = jnp.concatenate([dXr, dXi], axis=3).reshape(
+            kk * Hp8, C, 2 * m3)
+        dzE3 = dot(dXY3, e67t[:], (((2,), (0,))))  # [kk*Hp8, C, J8]
+        dzO3 = dot(dXY3, e67twt[:], (((2,), (0,))))
+        dzW = (dot(dzE3, selET[:], (((1,), (0,))))
+               + dot(dzO3, selOT[:], (((1,), (0,))))).reshape(kk * R, C2)
     else:
-        dzEt = dzE.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
-            Hp * J, C)
-        dzOt = dzO.reshape(Hp8, C, J8).transpose(0, 2, 1)[:Hp, :J].reshape(
-            Hp * J, C)
-    dzW = dot(dzEt, selET[:], (((1,), (0,)))) + dot(
-        dzOt, selOT[:], (((1,), (0,))))            # [kk*R, C2]
+        dXY = jnp.concatenate([dXr, dXi], axis=3).reshape(
+            kk * Hp8 * C, 2 * m3)
+        dzE = dot(dXY, e67t[:], (((1,), (0,))))    # [kk*Hp8*C, J8]
+        dzO = dot(dXY, e67twt[:], (((1,), (0,))))
+        if aligned:
+            # padded rows of dzE/dzO are exactly zero (EhPT/E67T/E67twT
+            # carry zero pad rows/cols) — keep the aligned layout, no slice
+            dzEt = dzE.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
+                kk * Hp8 * J8, C)
+            dzOt = dzO.reshape(kk, Hp8, C, J8).transpose(0, 1, 3, 2).reshape(
+                kk * Hp8 * J8, C)
+        else:
+            dzEt = dzE.reshape(Hp8, C, J8).transpose(
+                0, 2, 1)[:Hp, :J].reshape(Hp * J, C)
+            dzOt = dzO.reshape(Hp8, C, J8).transpose(
+                0, 2, 1)[:Hp, :J].reshape(Hp * J, C)
+        dzW = dot(dzEt, selET[:], (((1,), (0,)))) + dot(
+            dzOt, selOT[:], (((1,), (0,))))        # [kk*R, C2]
     # --- pointwise branch: ds_eff (BN-stat chain) → dzP
     sm = s_ref[...].reshape(kk * R, C2).astype(jnp.float32)
     dsm = ds_ref[...].reshape(kk * R, C2).astype(jnp.float32)
@@ -553,7 +595,7 @@ def _bt_blocks(BT: int, aligned: bool):
 def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
                  act: str, interpret: bool, x_dtype_str: str,
                  aligned: bool = False,
-                 kks: tuple = (1, 1, 1, 1), tdims=None):
+                 kks: tuple = (1, 1, 1, 1), tdims=None, selfuse=True):
     """The four pallas_calls of one layer (K1, K2 forward; K2A, K12B
     backward) for one static configuration. With ``aligned`` the
     activation blocks are the pre-padded 8-aligned [Hp8*J8, C2] layout
@@ -571,7 +613,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
     # bf16 einsums in that regime); f32 layers keep f32 spectra bit-stable
     spec_dtype = x_dtype if mxu is not None else jnp.float32
     kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, mxu=mxu, aligned=aligned,
-              tdims=tdims)
+              tdims=tdims, selfuse=selfuse)
     cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)
     kk1, kk2, kk2a, kk12b = kks
     k1 = pl.pallas_call(
@@ -622,7 +664,7 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
                 m1: int, m2: int, m3: int,
                 act: str, interpret: bool, x_dtype_str: str,
                 aligned: bool = False, kks: tuple = (1, 1, 1, 1),
-                in_valid=None, tstage=None):
+                in_valid=None, tstage=None, selfuse=True):
     """One fused FNO layer as a single custom_vjp:
 
       fwd:  K1 → mid_spectral (XLA) → K2
@@ -641,7 +683,7 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
     # first and leak it into later traces
     k1_call, k2_call, k2a_call, k12b_call = _layer_calls(
         BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str, aligned, kks,
-        tdims)
+        tdims, selfuse)
     eyeC = np.eye(C, dtype=np.float32)
     zC = np.zeros((C, C), np.float32)
     selE = np.concatenate([eyeC, zC], axis=0)   # [2C, C]
@@ -1137,8 +1179,12 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
 
     _ts = os.environ.get("REALPDEBENCH_FNO_TSTAGE", "mxu")
     tstage = None if _ts == "xla" else _ts
+    from realpdebench_tpu.utils.misc import env_flag
+
+    selfuse = env_flag("REALPDEBENCH_FNO_SELFUSE", default=True)
     layer = _make_layer(B, Tp, Hp, Wp // 2, C, m1, m2, m3, act, interpret,
-                        str(x.dtype), aligned, kks, in_valid, tstage)
+                        str(x.dtype), aligned, kks, in_valid, tstage,
+                        selfuse)
     return layer(x, a, b, w_real, w_imag, wp, bp)
 
 

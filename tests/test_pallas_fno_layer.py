@@ -474,3 +474,32 @@ def test_fused_layer_tstage_variants_match_oracle(monkeypatch, variant):
     np.testing.assert_allclose(np.asarray(_fold(stats_al)),
                                np.asarray(_fold(stats_ref)),
                                rtol=2e-4, atol=1e-3)
+
+
+def test_selfuse_fold_matches_transpose_form(monkeypatch):
+    """The repack-fold (contract 2m3 on the 3-D view + parity selectors on
+    dim1, REALPDEBENCH_FNO_SELFUSE default) computes the same forward AND
+    gradients as the transpose+selection form (=0) — identical contractions,
+    reordered."""
+    args = _inputs(seed=23)
+    ct_s = jnp.asarray(
+        np.random.default_rng(24).normal(
+            size=(B * Tp, _HP8 * _J8, 2 * C)), jnp.float32)
+
+    def run():
+        def f(*a):
+            s, stats = fused_fno_layer(
+                _to_aligned(a[0]), *a[1:], dims=DIMS, act="tanh",
+                interpret=True, aligned=True)
+            return jnp.vdot(s, ct_s) + jnp.sum(stats**2)
+
+        val, grads = jax.value_and_grad(f, argnums=tuple(range(7)))(*args)
+        return [np.asarray(val)] + [np.asarray(g) for g in grads]
+
+    monkeypatch.setenv("REALPDEBENCH_FNO_SELFUSE", "0")
+    want = run()
+    monkeypatch.setenv("REALPDEBENCH_FNO_SELFUSE", "1")
+    got = run()
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5,
+                                   atol=1e-5 * max(1.0, np.abs(w).max()))
