@@ -47,16 +47,23 @@ _SQ = math.sqrt(2.0 / math.pi)
 _GC = 0.044715
 
 
+def _c(v, u):
+    return jnp.asarray(v, u.dtype)
+
+
 def _act(u):
-    inner = _SQ * (u + _GC * u * u * u)
-    return u * jax.nn.sigmoid(2.0 * inner)
+    # tanh form (sigmoid lowers with an f32 broadcast Mosaic rejects in bf16)
+    inner = _c(_SQ, u) * (u + _c(_GC, u) * u * u * u)
+    t = jnp.tanh(inner)
+    return u * _c(0.5, u) * (_c(1.0, u) + t)
 
 
 def _act_grad(u):
-    inner = _SQ * (u + _GC * u * u * u)
+    inner = _c(_SQ, u) * (u + _c(_GC, u) * u * u * u)
     t = jnp.tanh(inner)
-    dinner = _SQ * (1.0 + 3.0 * _GC * u * u)
-    return 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * dinner
+    dinner = _c(_SQ, u) * (_c(1.0, u) + _c(3.0 * _GC, u) * u * u)
+    return (_c(0.5, u) * (_c(1.0, u) + t)
+            + _c(0.5, u) * u * (_c(1.0, u) - t * t) * dinner)
 
 
 def make(op: str):
