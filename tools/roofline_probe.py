@@ -72,7 +72,9 @@ def pallas_id2d(rows: int):
 
 
 def best_ms(f, x, n_iter):
-    xi = f(x)
+    # Fresh copy: f donates its argument, so chaining from the caller's x
+    # would delete the shared input buffer after the first row.
+    xi = f(jnp.array(x, copy=True))
     jax.block_until_ready(xi)
     best = None
     for _ in range(3):
