@@ -8,8 +8,9 @@ propagates from the input shardings: weights stay resident sharded, the
 channel contractions become partial matmuls with an all-reduce on ICI.
 
 Rules (matched on the flattened param path):
-  * spectral corner weights ``w_real``/``w_imag`` [4, Cin, Cout, m...] —
-    shard Cout (axis 2): each mp shard owns a slice of output channels;
+  * spectral corner weights ``w_real``/``w_imag`` [4, m..., Cin, Cout]
+    (channels-minor storage, models/fno.py::_spectral_params) — shard Cout
+    (last axis): each mp shard owns a slice of output channels;
   * Dense/Conv ``kernel`` leaves — shard the output-feature (last) axis;
   * everything else (biases, norms, scalars) replicated.
 A dimension that does not divide the mp size stays replicated.
@@ -30,8 +31,8 @@ def _leaf_spec(path: str, leaf, mp: int) -> P:
     if mp <= 1 or ndim < 2:
         return P()
     if ("w_real" in path or "w_imag" in path) and ndim >= 3:
-        if shape[2] % mp == 0:
-            return P(*([None, None, MODEL_AXIS] + [None] * (ndim - 3)))
+        if shape[-1] % mp == 0:
+            return P(*([None] * (ndim - 1) + [MODEL_AXIS]))
         return P()
     if path.endswith("kernel']") or path.endswith("kernel]"):
         if shape[-1] % mp == 0:

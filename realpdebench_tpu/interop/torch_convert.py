@@ -108,14 +108,16 @@ def convert_fno(sd, params_template, model_state_template):
         {k.split(".")[1] for k in sd if k.startswith("spectral_convs.")}
     )
     for i in range(n_layers):
+        # torch [Ci, Co, m1, m2, m3] per corner → channels-minor storage
+        # [4, m1, m2, m3, Ci, Co] (models/fno.py::_spectral_params)
         w = np.stack(
             [sd[f"spectral_convs.{i}.weights{k}"] for k in (1, 2, 3, 4)]
-        )
+        ).transpose(0, 3, 4, 5, 1, 2)
         cw = sd[f"convs.{i}.weight"][:, :, 0, 0, 0]
         params[f"layer_{i}"] = {
             "spectral": {
-                "w_real": w.real.astype(np.float32),
-                "w_imag": w.imag.astype(np.float32),
+                "w_real": np.ascontiguousarray(w.real).astype(np.float32),
+                "w_imag": np.ascontiguousarray(w.imag).astype(np.float32),
             },
             "pointwise": {"kernel": cw.T, "bias": sd[f"convs.{i}.bias"]},
             "bn": {
@@ -349,9 +351,11 @@ def convert_transolver(sd, params_template, model_state_template):
 
 
 def _spectral_corners(sd, prefix):
+    # torch [Ci, Co, m...] per corner → channels-minor [4, m..., Ci, Co]
     w = np.stack([sd[f"{prefix}{k}"] for k in (1, 2, 3, 4)])
-    return {"w_real": w.real.astype(np.float32),
-            "w_imag": w.imag.astype(np.float32)}
+    w = w.transpose(0, 3, 4, 5, 1, 2)
+    return {"w_real": np.ascontiguousarray(w.real).astype(np.float32),
+            "w_imag": np.ascontiguousarray(w.imag).astype(np.float32)}
 
 
 @register_converter("galerkin_transformer")

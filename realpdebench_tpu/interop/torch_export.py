@@ -104,9 +104,11 @@ def _x_bn_stats(out, tkey, b):
 
 
 def _x_spectral(out, prefix, p):
-    """(w_real, w_imag) [4, Ci, Co, m1, m2, m3] → complex weights{1..4}."""
+    """(w_real, w_imag) channels-minor [4, m1, m2, m3, Ci, Co] → torch
+    complex weights{1..4} [Ci, Co, m1, m2, m3]."""
     w = p["w_real"].astype(np.complex64) + 1j * p["w_imag"].astype(
         np.complex64)
+    w = w.transpose(0, 4, 5, 1, 2, 3)
     for k in range(4):
         out[f"{prefix}{k + 1}"] = np.ascontiguousarray(w[k])
 

@@ -34,9 +34,16 @@ def _spectral_params(module: nn.Module, in_channels: int, out_channels: int,
     """Declare the 4-corner spectral weights on ``module``.
 
     torch.rand on cfloat draws U[0,1) for real and imag independently
-    (fno.py:31-38); mirror that init."""
+    (fno.py:31-38); mirror that init (i.i.d. uniform — element order is
+    irrelevant to the distribution).
+
+    Storage order [4, m1, m2, m3, Cin, Cout]: channels minor, so the stored
+    row-major layout IS the (sublane=Cin, lane=Cout) layout the corner GEMM
+    wants — params, grads, and adam slots then share one layout and XLA
+    inserts no per-step relayout copies (the channels-major order cost
+    ~2.4 GB/step of `copy` in the round-4 HLO)."""
     scale = 1.0 / (in_channels * out_channels)
-    shape = (4, in_channels, out_channels, modes1, modes2, modes3)
+    shape = (4, modes1, modes2, modes3, in_channels, out_channels)
     w_real = module.param(
         "w_real", lambda k: scale * jnp.asarray(
             nn.initializers.uniform(scale=1.0)(k, shape, jnp.float32)

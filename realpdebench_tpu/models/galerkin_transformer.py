@@ -171,8 +171,9 @@ class GKTSpectralConv3d(nn.Module):
     @nn.compact
     def __call__(self, x):
         scale = 1.0 / (self.in_dim * self.out_dim)
-        shape = (4, self.in_dim, self.out_dim,
-                 self.modes_t, self.modes_x, self.modes_y)
+        # channels-minor storage order (see models/fno.py::_spectral_params)
+        shape = (4, self.modes_t, self.modes_x, self.modes_y,
+                 self.in_dim, self.out_dim)
         w_real = self.param(
             "w_real",
             lambda k: scale * jnp.asarray(

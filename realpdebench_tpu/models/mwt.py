@@ -65,11 +65,13 @@ class SparseKernelFT3d(nn.Module):
         modes = self.alpha
         shape = (ck2, ck2, modes, modes, modes)
 
+        # Draw in the torch fan order (xavier fan from shape[0:2]), then store
+        # channels-minor [4, m, m, m, ck2, ck2] (see fno.py::_spectral_params)
         wr = self.param("w_real", lambda k_: jnp.stack(
-            [_xavier_normal_complex(kk, shape)[0]
+            [_xavier_normal_complex(kk, shape)[0].transpose(2, 3, 4, 0, 1)
              for kk in jax.random.split(k_, 4)]))
         wi = self.param("w_imag", lambda k_: jnp.stack(
-            [_xavier_normal_complex(kk, shape)[1]
+            [_xavier_normal_complex(kk, shape)[1].transpose(2, 3, 4, 0, 1)
              for kk in jax.random.split(k_, 4)]))
 
         xf = x.reshape(B, Nx, Ny, T, ck2).astype(jnp.float32)
@@ -78,8 +80,8 @@ class SparseKernelFT3d(nn.Module):
         l2 = min(modes, Ny // 2 + 1)
         l3 = min(modes, T // 2 + 1)
 
-        wrc = wr[:, :, :, :l1, :l2, :l3]
-        wic = wi[:, :, :, :l1, :l2, :l3]
+        wrc = wr[:, :l1, :l2, :l3]
+        wic = wi[:, :l1, :l2, :l3]
 
         if 2 * l1 <= Nx and 2 * l2 <= Ny:
             # No ± corner overlap → the shared truncated-DFT spectral conv is
@@ -114,10 +116,10 @@ class SparseKernelFT3d(nn.Module):
         # lower on some TPU runtimes, and real GEMMs are the MXU-native form
         # anyway (same trick as ops/spectral.py's DFT path).
         xr, xi = corners.real, corners.imag
-        out_r = (jnp.einsum("bkxyzi,kioxyz->bkxyzo", xr, wrc)
-                 - jnp.einsum("bkxyzi,kioxyz->bkxyzo", xi, wic))
-        out_i = (jnp.einsum("bkxyzi,kioxyz->bkxyzo", xr, wic)
-                 + jnp.einsum("bkxyzi,kioxyz->bkxyzo", xi, wrc))
+        out_r = (jnp.einsum("bkxyzi,kxyzio->bkxyzo", xr, wrc)
+                 - jnp.einsum("bkxyzi,kxyzio->bkxyzo", xi, wic))
+        out_i = (jnp.einsum("bkxyzi,kxyzio->bkxyzo", xr, wic)
+                 + jnp.einsum("bkxyzi,kxyzio->bkxyzo", xi, wrc))
 
         Tr = T // 2 + 1
         ftr = jnp.zeros((B, Nx, Ny, Tr, ck2), jnp.float32)

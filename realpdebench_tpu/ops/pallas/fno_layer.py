@@ -962,12 +962,19 @@ def _mid_einsum(mid_dtype):
     return _flavored_einsum(use_bf16), use_bf16
 
 
-def _pack_w2(w_real, w_imag):
+def _pack_w2(w_real, w_imag, dtype=None):
     """2x2 block-complex corner weight: [re | im] input lanes are mixed to
-    [re | im] output lanes by ``[[wr, wi], [-wi, wr]]`` ([4, 2Ci, 2Co, m.])."""
-    top = jnp.concatenate([w_real, w_imag], axis=2)
-    bot = jnp.concatenate([-w_imag, w_real], axis=2)
-    return jnp.concatenate([top, bot], axis=1)
+    [re | im] output lanes by ``[[wr, wi], [-wi, wr]]``
+    ([4, m., 2Ci, 2Co] — channels-minor storage, see models/fno.py).
+
+    ``dtype`` casts the halves BEFORE packing (identical rounding to casting
+    the packed result, half the concat/negate traffic when bf16)."""
+    if dtype is not None:
+        w_real = w_real.astype(dtype)
+        w_imag = w_imag.astype(dtype)
+    top = jnp.concatenate([w_real, w_imag], axis=-1)
+    bot = jnp.concatenate([-w_imag, w_real], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -981,24 +988,25 @@ def _corner_gemm(use_bf16, x2, w_real, w_imag):
     custom VJP computes the four half-lane dwr/dwi einsums directly
     (50 MB outputs) — half the HBM writes, no converts."""
     e = _flavored_einsum(use_bf16)
-    return e("bkxyzi,kioxyz->bkxyzo", x2, _pack_w2(w_real, w_imag))
+    w2 = _pack_w2(w_real, w_imag, jnp.bfloat16 if use_bf16 else None)
+    return e("bkxyzi,kxyzio->bkxyzo", x2, w2)
 
 
 def _corner_gemm_fwd(use_bf16, x2, w_real, w_imag):
     e = _flavored_einsum(use_bf16)
-    w2 = _pack_w2(w_real, w_imag)
-    return e("bkxyzi,kioxyz->bkxyzo", x2, w2), (x2, w2)
+    w2 = _pack_w2(w_real, w_imag, jnp.bfloat16 if use_bf16 else None)
+    return e("bkxyzi,kxyzio->bkxyzo", x2, w2), (x2, w2)
 
 
 def _corner_gemm_bwd(use_bf16, res, dg):
     x2, w2 = res
     e = _flavored_einsum(use_bf16)
     ci, co = x2.shape[-1] // 2, dg.shape[-1] // 2
-    dx2 = e("bkxyzo,kioxyz->bkxyzi", dg, w2)
+    dx2 = e("bkxyzo,kxyzio->bkxyzi", dg, w2)
     xr, xi = x2[..., :ci], x2[..., ci:]
     dgr, dgi = dg[..., :co], dg[..., co:]
     # out_r = xr wr - xi wi ; out_i = xr wi + xi wr  (per corner k)
-    wg = "bkxyzi,bkxyzo->kioxyz"
+    wg = "bkxyzi,bkxyzo->kxyzio"
     dwr = e(wg, xr, dgr) + e(wg, xi, dgi)
     dwi = e(wg, xr, dgi) - e(wg, xi, dgr)
     return dx2, dwr, dwi
@@ -1029,7 +1037,7 @@ def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum, use_bf16,
         form's concat/split around the corner GEMM disappears.
 
     Identical math to the split-lane form (pure reordering)."""
-    _, Cin, Cout, m1, m2, m3 = w_real.shape
+    _, m1, m2, m3, Cin, Cout = w_real.shape
     BT, Y, C2 = y.shape
     C = C2 // 2
     EtR, EtI, ItR, ItI = (jnp.asarray(t) for t in _t_consts(Tp, m1))
@@ -1064,7 +1072,7 @@ def _mid_spectral_packed(y, w_real, w_imag, B, Tp, jnp_einsum, use_bf16,
     if env_flag("REALPDEBENCH_FNO_CORNER_VJP", default=True):
         out2 = _corner_gemm(use_bf16, x2, w_real, w_imag)
     else:  # A/B: autodiff through the packed w2 (duplicated dw2 + converts)
-        out2 = jnp_einsum("bkxyzi,kioxyz->bkxyzo", x2, _pack_w2(w_real, w_imag))
+        out2 = jnp_einsum("bkxyzi,kxyzio->bkxyzo", x2, _pack_w2(w_real, w_imag))
 
     gtop = jnp.concatenate([out2[:, 0], out2[:, 2]], axis=2)
     gbot = jnp.concatenate([out2[:, 1], out2[:, 3]], axis=2)
@@ -1106,7 +1114,7 @@ def mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=None, tstage=None,
                                     use_bf16, tstage=tstage,
                                     interpret=interpret)
 
-    _, Cin, Cout, m1, m2, m3 = w_real.shape
+    _, m1, m2, m3, Cin, Cout = w_real.shape
     BT, Y, C2 = y.shape
     C = C2 // 2
     EtR, EtI, ItR, ItI = (jnp.asarray(t) for t in _t_consts(Tp, m1))
@@ -1126,8 +1134,8 @@ def mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=None, tstage=None,
 
     cr, ci = corners(zr), corners(zi)
     # corner dims (b, 4, m1, m2, m3, cin) match the reference contraction
-    # order directly (weights [4, Cin, Cout, m1, m2, m3], fno.py:53-60)
-    eq = "bkxyzi,kioxyz->bkxyzo"
+    # order directly (weights [4, m1, m2, m3, Cin, Cout], fno.py:53-60)
+    eq = "bkxyzi,kxyzio->bkxyzo"
     outr = jnp_einsum(eq, cr, w_real) - jnp_einsum(eq, ci, w_imag)
     outi = jnp_einsum(eq, cr, w_imag) + jnp_einsum(eq, ci, w_real)
 
@@ -1179,7 +1187,8 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
         the BN statistics exclude the padded rows).
       a, b: [1, C] BN affine folded from the previous layer (a=1, b=0 and
         act='none' for the first layer).
-      w_real/w_imag: [4, C, C, m1, m2, m3] spectral corner weights.
+      w_real/w_imag: [4, m1, m2, m3, C, C] spectral corner weights
+        (channels-minor storage, see models/fno.py::_spectral_params).
       wp: [C, C] pointwise mixing kernel; bp: [1, C] its bias.
       dims: (B, Tp, Hp, Wp, C).
       act: 'none' | 'tanh' | 'exact' — the activation folded at input.
@@ -1188,7 +1197,7 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
       parity halves ([:, :C] + [:, C:]) for per-channel BN statistics.
     """
     B, Tp, Hp, Wp, C = dims
-    m1, m2, m3 = w_real.shape[3], w_real.shape[4], w_real.shape[5]
+    m1, m2, m3 = w_real.shape[1], w_real.shape[2], w_real.shape[3]
     kks = _bt_blocks(B * Tp, aligned)
     # T-stage variant for the mid-section: pallas t-contraction ('mxu' |
     # 'vpu') vs the XLA einsums ('xla'); an lru key so in-process flips

@@ -19,8 +19,21 @@ TPU design notes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _bf16_dot_dtype(dt):
+    """bf16 for the corner contraction where the backend can run it.
+
+    XLA:CPU's thunk runtime cannot execute a direct batched
+    bf16 x bf16 -> f32 dot (the channels-minor weight order lowers to one);
+    TPU runs it natively on the MXU. On CPU fall back to f32 operands —
+    slightly more accurate, test-only path."""
+    if dt == jnp.bfloat16 and jax.default_backend() == "cpu":
+        return jnp.float32
+    return dt
 
 
 def truncated_spectral_conv3d_fft(x, w_real, w_imag):
@@ -28,14 +41,17 @@ def truncated_spectral_conv3d_fft(x, w_real, w_imag):
 
     Args:
       x: [B, T, H, W, C_in] real (any float dtype; FFT math in f32).
-      w_real/w_imag: [4, C_in, C_out, m1, m2, m3] — the four corner blocks in
+      w_real/w_imag: [4, m1, m2, m3, C_in, C_out] — the four corner blocks in
         reference order (+T+H, -T+H, +T-H, -T-H; fno.py:53-60). m3 indexes the
-        non-negative rfft axis (W).
+        non-negative rfft axis (W). Channels are the two MINOR dims so the
+        stored layout is exactly what the corner GEMM wants — XLA inserts no
+        per-step relayout copies of params/grads/optimizer state (the round-4
+        HLO showed ~2.4 GB/step of them with channels-major storage).
 
     Returns: [B, T, H, W, C_out] real, float32.
     """
     B, T, H, W, Cin = x.shape
-    _, _, Cout, m1, m2, m3 = w_real.shape
+    _, m1, m2, m3, _, Cout = w_real.shape
 
     x32 = x.astype(jnp.float32)
     x_ft = jnp.fft.rfftn(x32, axes=(1, 2, 3))  # [B, T, H, W//2+1, Cin] c64
@@ -50,10 +66,10 @@ def truncated_spectral_conv3d_fft(x, w_real, w_imag):
         axis=1,
     )  # [B, 4, m1, m2, m3, Cin]
 
-    w = (w_real + 1j * w_imag).astype(jnp.complex64)  # [4, Cin, Cout, m1,m2,m3]
+    w = (w_real + 1j * w_imag).astype(jnp.complex64)  # [4, m1,m2,m3, Cin,Cout]
     # one batched complex contraction over Cin for all 4 corner blocks
     out_corners = jnp.einsum(
-        "bkxyzi,kioxyz->bkxyzo", corners, w, preferred_element_type=jnp.complex64
+        "bkxyzi,kxyzio->bkxyzo", corners, w, preferred_element_type=jnp.complex64
     )  # [B, 4, m1, m2, m3, Cout]
 
     Wr = W // 2 + 1
@@ -139,7 +155,7 @@ def truncated_spectral_conv3d_dft(x, w_real, w_imag):
     T → H → W (each step grows one axis back).
     """
     B, T, H, W, Cin = x.shape
-    _, _, Cout, m1, m2, m3 = w_real.shape
+    _, m1, m2, m3, _, Cout = w_real.shape
     Ew, Eh, Et, It, Ih, Iw_re, Iw_im = _dft_factors(T, H, W, m1, m2, m3)
     Ew = jnp.asarray(Ew)
     Eh = jnp.asarray(Eh)
@@ -165,7 +181,7 @@ def truncated_spectral_conv3d_dft(x, w_real, w_imag):
     )  # [B, 4, m1, m2, m3, Cin]
 
     wc = (w_real + 1j * w_imag).astype(jnp.complex64)
-    out_c = jnp.einsum("bkxyzi,kioxyz->bkxyzo", corners, wc,
+    out_c = jnp.einsum("bkxyzi,kxyzio->bkxyzo", corners, wc,
                        preferred_element_type=jnp.complex64)
 
     # reassemble the [2m1, 2m2] corner grid and invert T → H → W
@@ -212,7 +228,7 @@ def truncated_spectral_conv3d_dft_lowp(x, w_real, w_imag,
     relative error ~1e-2 (training-quality; use the f32 path for checkpoint
     parity evals)."""
     B, T, H, W, Cin = x.shape
-    _, _, Cout, m1, m2, m3 = w_real.shape
+    _, m1, m2, m3, _, Cout = w_real.shape
     Ew, Eh, Et, It, Ih, Iw_re, Iw_im = _dft_factors(T, H, W, m1, m2, m3)
     dt = compute_dtype
     cast = lambda a: jnp.asarray(a).astype(dt)
@@ -249,12 +265,13 @@ def truncated_spectral_conv3d_dft_lowp(x, w_real, w_imag,
         )
 
     cr, ci = corners(Zr), corners(Zi)
-    wr = w_real.astype(dt)
-    wi = w_imag.astype(dt)
-    eq = "bkxyzi,kioxyz->bkxyzo"
+    wdt = _bf16_dot_dtype(dt)
+    wr = w_real.astype(wdt)
+    wi = w_imag.astype(wdt)
+    eq = "bkxyzi,kxyzio->bkxyzo"
 
     def wmm(a, w):
-        return jnp.einsum(eq, a.astype(dt), w, preferred_element_type=f32)
+        return jnp.einsum(eq, a.astype(wdt), w, preferred_element_type=f32)
 
     outr = wmm(cr, wr) - wmm(ci, wi)
     outi = wmm(cr, wi) + wmm(ci, wr)

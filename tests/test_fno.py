@@ -79,7 +79,7 @@ def test_parity_with_reference_torch(rng):
     for i in range(2):
         w = np.stack(
             [sd[f"spectral_convs.{i}.weights{k}"].numpy() for k in (1, 2, 3, 4)]
-        )
+        ).transpose(0, 3, 4, 5, 1, 2)  # channels-minor storage
         cw = sd[f"convs.{i}.weight"].numpy()[:, :, 0, 0, 0]
         params[f"layer_{i}"] = {
             "spectral": {

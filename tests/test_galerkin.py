@@ -133,7 +133,7 @@ def test_parity_with_reference_torch(rng):
     for i in range(2):
         w = np.stack([
             sd[f"regressor.spectral_conv.{i}.weights{k}"] for k in (1, 2, 3, 4)
-        ])
+        ]).transpose(0, 3, 4, 5, 1, 2)  # channels-minor storage
         reg[f"spectral_{i}"] = {
             "w_real": w.real.astype(np.float32),
             "w_imag": w.imag.astype(np.float32),

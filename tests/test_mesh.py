@@ -67,7 +67,7 @@ def test_param_shardings_fno():
 
     shardings = param_shardings(params, ctx)
     spec = shardings["layer_0"]["spectral"]["w_real"].spec
-    assert spec == jax.sharding.PartitionSpec(None, None, "mp", None, None, None)
+    assert spec == jax.sharding.PartitionSpec(None, None, None, None, None, "mp")
     # biases replicated
     assert shardings["fc0"]["bias"].spec == jax.sharding.PartitionSpec()
 

@@ -77,7 +77,8 @@ def test_parity_with_reference_torch(rng):
     for i in range(2):
         cz = params[f"cz_{i}"]
         pre = f"MWT_CZ.{i}"
-        w = np.stack([sd[f"{pre}.A.weights{j}"] for j in (1, 2, 3, 4)])
+        w = np.stack([sd[f"{pre}.A.weights{j}"] for j in (1, 2, 3, 4)]
+                     ).transpose(0, 3, 4, 5, 1, 2)  # channels-minor storage
         cz["A"]["w_real"] = w.real.astype(np.float32)
         cz["A"]["w_imag"] = w.imag.astype(np.float32)
         dense(cz["A"], "Lo", f"{pre}.A.Lo")

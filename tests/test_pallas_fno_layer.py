@@ -34,8 +34,8 @@ def _inputs(seed=0):
     x = r.normal(size=(B * Tp, Hp * (Wp // 2), 2 * C)).astype(np.float32)
     a = (1.0 + 0.1 * r.normal(size=(1, C))).astype(np.float32)
     b = (0.1 * r.normal(size=(1, C))).astype(np.float32)
-    wr = (0.2 * r.normal(size=(4, C, C, M1, M2, M3))).astype(np.float32)
-    wi = (0.2 * r.normal(size=(4, C, C, M1, M2, M3))).astype(np.float32)
+    wr = (0.2 * r.normal(size=(4, M1, M2, M3, C, C))).astype(np.float32)
+    wi = (0.2 * r.normal(size=(4, M1, M2, M3, C, C))).astype(np.float32)
     wp = (0.3 * r.normal(size=(C, C))).astype(np.float32)
     bp = (0.1 * r.normal(size=(1, C))).astype(np.float32)
     return tuple(map(jnp.asarray, (x, a, b, wr, wi, wp, bp)))
@@ -217,8 +217,8 @@ def test_mid_spectral_bf16_flag_close(monkeypatch):
 
     r = np.random.default_rng(3)
     y = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
-    wr = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
-    wi = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    wr = jnp.asarray(0.2 * r.normal(size=(4, M1, M2, M3, C, C)), jnp.float32)
+    wi = jnp.asarray(0.2 * r.normal(size=(4, M1, M2, M3, C, C)), jnp.float32)
     want = np.asarray(mid_spectral(y, wr, wi, B, Tp))
     monkeypatch.setenv("REALPDEBENCH_FNO_MID", "bf16")
     got = np.asarray(mid_spectral(y, wr, wi, B, Tp))
@@ -234,8 +234,8 @@ def test_mid_spectral_block_corner_parity(monkeypatch):
 
     r = np.random.default_rng(7)
     y = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
-    wr = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
-    wi = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    wr = jnp.asarray(0.2 * r.normal(size=(4, M1, M2, M3, C, C)), jnp.float32)
+    wi = jnp.asarray(0.2 * r.normal(size=(4, M1, M2, M3, C, C)), jnp.float32)
     ct = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
 
     def run():
@@ -262,8 +262,8 @@ def test_corner_gemm_custom_vjp_matches_autodiff(monkeypatch, mid):
 
     r = np.random.default_rng(11)
     y = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
-    wr = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
-    wi = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    wr = jnp.asarray(0.2 * r.normal(size=(4, M1, M2, M3, C, C)), jnp.float32)
+    wi = jnp.asarray(0.2 * r.normal(size=(4, M1, M2, M3, C, C)), jnp.float32)
     ct = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
     monkeypatch.setenv("REALPDEBENCH_FNO_MID", mid)
 
@@ -442,8 +442,8 @@ def test_tstage_kernel_matches_einsum_mid(variant):
 
     r = np.random.default_rng(13)
     y = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
-    wr = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
-    wi = jnp.asarray(0.2 * r.normal(size=(4, C, C, M1, M2, M3)), jnp.float32)
+    wr = jnp.asarray(0.2 * r.normal(size=(4, M1, M2, M3, C, C)), jnp.float32)
+    wi = jnp.asarray(0.2 * r.normal(size=(4, M1, M2, M3, C, C)), jnp.float32)
     ct = jnp.asarray(r.normal(size=(B * Tp, 2 * M2 * M3, 2 * C)), jnp.float32)
 
     def run(ts):

@@ -25,8 +25,9 @@ def case():
     # prime-ish, non-power-of-two dims on purpose (the real datasets use
     # 26/70/134-style grids where TPU FFT falls back to Bluestein)
     x = rng.standard_normal((2, 6, 10, 14, 3)).astype(np.float32)
-    wr = (rng.standard_normal((4, 3, 5, 2, 3, 4)) * 0.1).astype(np.float32)
-    wi = (rng.standard_normal((4, 3, 5, 2, 3, 4)) * 0.1).astype(np.float32)
+    # channels-minor order [4, m1, m2, m3, Ci, Co]: modes (2, 3, 4), 3 -> 5 ch
+    wr = (rng.standard_normal((4, 2, 3, 4, 3, 5)) * 0.1).astype(np.float32)
+    wi = (rng.standard_normal((4, 2, 3, 4, 3, 5)) * 0.1).astype(np.float32)
     return x, wr, wi
 
 
@@ -46,8 +47,8 @@ def test_dft_exact_at_full_rfft_width():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((2, 4, 6, 8, 3)).astype(np.float32)
     m1, m2, m3 = 2, 3, 5  # m3 = 8//2 + 1 → full rfft width incl. Nyquist
-    wr = (rng.standard_normal((4, 3, 4, m1, m2, m3)) * 0.1).astype(np.float32)
-    wi = (rng.standard_normal((4, 3, 4, m1, m2, m3)) * 0.1).astype(np.float32)
+    wr = (rng.standard_normal((4, m1, m2, m3, 3, 4)) * 0.1).astype(np.float32)
+    wi = (rng.standard_normal((4, m1, m2, m3, 3, 4)) * 0.1).astype(np.float32)
     ref = np.asarray(truncated_spectral_conv3d_fft(x, wr, wi))
     out = np.asarray(truncated_spectral_conv3d_dft_lowp(
         x, wr, wi, compute_dtype=jnp.float32))

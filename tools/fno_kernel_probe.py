@@ -59,7 +59,7 @@ def build_inputs(aligned: bool, dtype):
     ds2 = 0.01 * jnp.ones((1, C2), jnp.float32)
     wp2 = mk(ks[6], (C2, C2), jnp.float32)
     bp2 = jnp.zeros((1, C2), jnp.float32)
-    wr = mk(ks[7], (4, C, C, m1, m2, m3), jnp.float32)
+    wr = mk(ks[7], (4, m1, m2, m3, C, C), jnp.float32)
     return dict(x=x, s=s, ds=ds, y=y, g=g, dy=dy, a2=a2, b2=b2, ds1=ds1,
                 ds2=ds2, wp2=wp2, bp2=bp2, wr=wr, wi=wr)
 

@@ -94,8 +94,8 @@ def main(n_iter: int = 30, interpret: bool = False):
                                            ds2, dy, *k12bc)[0],
                       lambda dx: dx[0, 0, 0]), x),
         "mid": (wrap(lambda yi, aux: fl.mid_spectral(
-                        yi, mk(ks[6], (4, C, C, m1, m2, m3), jnp.float32),
-                        mk(ks[7], (4, C, C, m1, m2, m3), jnp.float32),
+                        yi, mk(ks[6], (4, m1, m2, m3, C, C), jnp.float32),
+                        mk(ks[7], (4, m1, m2, m3, C, C), jnp.float32),
                         B, Tp, mid_dtype=jnp.bfloat16),
                      lambda gg: gg[0, 0, 0]), g),
     }
