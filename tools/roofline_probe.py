@@ -71,19 +71,27 @@ def pallas_id2d(rows: int):
     )
 
 
+def _sync(xi):
+    # The axon tunnel's block_until_ready returns before execution finishes
+    # (the first probe run measured 43 TB/s "bandwidth" = dispatch only);
+    # force a data-dependent scalar fetch like vpu_probe does.
+    return float(np.asarray(jax.device_get(
+        jnp.sum(xi.reshape(-1)[:4].astype(jnp.float32)))))
+
+
 def best_ms(f, x, n_iter):
     # Fresh copy: f donates its argument, so chaining from the caller's x
     # would delete the shared input buffer after the first row.
     xi = f(jnp.array(x, copy=True))
-    jax.block_until_ready(xi)
+    _sync(xi)
     best = None
     for _ in range(3):
         xi = f(xi)
-        jax.block_until_ready(xi)
+        _sync(xi)
         t0 = time.perf_counter()
         for _ in range(n_iter):
             xi = f(xi)
-        jax.block_until_ready(xi)
+        _sync(xi)
         dt = (time.perf_counter() - t0) / n_iter
         best = dt if best is None else min(best, dt)
     return best * 1e3
