@@ -27,6 +27,7 @@ from typing import Optional
 import numpy as np
 
 from realpdebench_tpu.data import splits as S
+from realpdebench_tpu.utils.misc import derive_seed
 
 
 def gaussian_kernel(size: int, sigma: float) -> np.ndarray:
@@ -142,7 +143,7 @@ class FluidDataset:
         self.horizon = self.spec.horizon
         self.n_sim_frame = n_sim_frame
 
-        self._rng = np.random.default_rng(seed + hash((mode, dataset_type)) % 2**31)
+        self._rng = np.random.default_rng(derive_seed(seed, mode, dataset_type))
 
         loaded = S.load_id_mappings(self.dataset_dir, dataset_type)
         if loaded is None:

@@ -25,6 +25,7 @@ import numpy as np
 
 from realpdebench_tpu import check_data_version
 from realpdebench_tpu.data.combustion import CombustionDataset
+from realpdebench_tpu.utils.misc import derive_seed
 from realpdebench_tpu.data.fluid import (
     Cylinder,
     ControlledCylinder,
@@ -183,9 +184,7 @@ class FluidHFDataset(_HFTrajectoryMixin, FluidDataset):
         self.N_autoregressive = defaults["N_autoregressive"]
         self.horizon = self.in_step + self.out_step
         self.n_sim_frame = defaults["n_sim_frame"]
-        self._rng = np.random.default_rng(
-            seed + hash((mode, dataset_type)) % 2**31
-        )
+        self._rng = np.random.default_rng(derive_seed(seed, mode, dataset_type))
         self._init_hf(
             dataset_name, dataset_root, dataset_type, mode, test_mode,
             defaults["N_autoregressive"], hf_auto_download, hf_repo_id,
@@ -296,9 +295,7 @@ class CombustionHFDataset(_HFTrajectoryMixin, CombustionDataset):
         self.out_step = defaults["out_step"] * defaults["N_autoregressive"]
         self.N_autoregressive = defaults["N_autoregressive"]
         self.horizon = self.in_step + self.out_step
-        self._rng = np.random.default_rng(
-            seed + hash((mode, dataset_type)) % 2**31
-        )
+        self._rng = np.random.default_rng(derive_seed(seed, mode, dataset_type))
         self._init_hf(
             dataset_name, dataset_root, dataset_type, mode, test_mode,
             defaults["N_autoregressive"], hf_auto_download, hf_repo_id,

