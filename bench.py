@@ -168,14 +168,19 @@ def main():
         ici_gbps = 90e9
         t_psum = 2 * (8 - 1) / 8 * grad_bytes / ici_gbps
         projected = 1.0 / (1.0 / r4 + t_psum)
+        # measured vs modeled kept visually distinct (advisor, round 4):
+        # the bs4 proxy rate is a MEASUREMENT; everything else in the
+        # sub-object is an analytic model on top of it
         dp8 = {
             "dp8_proxy_bs4_steps_per_sec": round(r4, 3),
-            "projected_v5e8_steps_per_sec": round(projected, 3),
-            "projected_v5e8_vs_baseline": round(
-                projected / A100_REFERENCE_STEPS_PER_SEC, 3),
-            "ici_assumption": "2x4 v5e, 90 GB/s/chip ring allreduce, "
-                              "no compute overlap",
-            "psum_ms_estimate": round(t_psum * 1e3, 2),
+            "projection": {
+                "estimated_v5e8_steps_per_sec": round(projected, 3),
+                "estimated_v5e8_vs_baseline": round(
+                    projected / A100_REFERENCE_STEPS_PER_SEC, 3),
+                "ici_assumption": "2x4 v5e, 90 GB/s/chip ring allreduce, "
+                                  "no compute overlap",
+                "psum_ms_estimate": round(t_psum * 1e3, 2),
+            },
         }
         del state4, x4, y4
         key, _ = jax.random.split(key)
@@ -221,7 +226,10 @@ def main():
         "value": round(steps_per_sec_chip, 3),
         "unit": "steps/s/chip",
         "vs_baseline": round(steps_per_sec_chip / A100_REFERENCE_STEPS_PER_SEC, 3),
-        "baseline_note": "A100 ref is a FLOP-model estimate (3.0 steps/s), not a measurement",
+        "baseline_source": "estimate",
+        "baseline_note": "A100 ref is a FLOP-model estimate (3.0 steps/s), "
+                         "not a measurement; a driver-side torch reference "
+                         "measurement is requested in BASELINE.md",
         "window_rates": [round(r, 3) for r in window_rates],
         "window_spread": round(spread, 3),
         "n_stalled_windows": n_stalled,

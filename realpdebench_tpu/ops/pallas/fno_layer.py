@@ -954,10 +954,10 @@ def _mid_einsum(mid_dtype):
     when the fused layer itself runs bf16 (halves HBM traffic, ~1e-3 rel
     err), plain f32 otherwise. ``REALPDEBENCH_FNO_MID=bf16|f32`` overrides
     either way (A/B runs)."""
-    import os
+    from realpdebench_tpu.utils.misc import env_choice
 
-    env = os.environ.get("REALPDEBENCH_FNO_MID")
-    use_bf16 = (env == "bf16" if env in ("bf16", "f32")
+    env = env_choice("REALPDEBENCH_FNO_MID", ("bf16", "f32"), None)
+    use_bf16 = (env == "bf16" if env is not None
                 else mid_dtype == jnp.bfloat16)
     return _flavored_einsum(use_bf16), use_bf16
 
@@ -1202,11 +1202,10 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
     # T-stage variant for the mid-section: pallas t-contraction ('mxu' |
     # 'vpu') vs the XLA einsums ('xla'); an lru key so in-process flips
     # (tests, A/B) rebuild the layer
-    import os
+    from realpdebench_tpu.utils.misc import env_choice, env_flag
 
-    _ts = os.environ.get("REALPDEBENCH_FNO_TSTAGE", "mxu")
+    _ts = env_choice("REALPDEBENCH_FNO_TSTAGE", ("mxu", "vpu", "xla"), "mxu")
     tstage = None if _ts == "xla" else _ts
-    from realpdebench_tpu.utils.misc import env_flag
 
     selfuse = env_flag("REALPDEBENCH_FNO_SELFUSE", default=True)
     layer = _make_layer(B, Tp, Hp, Wp // 2, C, m1, m2, m3, act, interpret,

@@ -156,6 +156,16 @@ def _tail_kk(BT: int) -> int:
 
             warnings.warn(
                 f"REALPDEBENCH_FNO_TAILBLK={env!r} is not an int; using 2")
+    # K3B's scoped stack is ~27 MB per row-image vs the 100 MB vmem cap
+    # (_COMPILER_PARAMS); kk>=4 fails at compile with a Mosaic error far
+    # from this env var, so clamp here with a visible warning.
+    if want > 3:
+        import warnings
+
+        warnings.warn(
+            f"REALPDEBENCH_FNO_TAILBLK={want} exceeds the ~3 row-image "
+            "scoped-VMEM budget (27 MB each vs the 100 MB cap); clamping to 3")
+        want = 3
     k = min(want, BT)
     while BT % k:
         k -= 1

@@ -37,6 +37,24 @@ def env_flag(name: str, default: bool = False) -> bool:
     return default
 
 
+def env_choice(name: str, choices, default):
+    """String env-var switch restricted to a known value set.
+
+    Unknown values (typos like ``vpu `` or ``MXU``) log a warning and keep
+    the default instead of crashing later at trace time or — worse —
+    silently measuring the default path in an A/B run (advisor findings,
+    round 4). Matching is case/whitespace-insensitive."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    v = raw.strip().lower()
+    if v in choices:
+        return v
+    logging.warning("env %s=%r not in %s; keeping default %r",
+                    name, raw, sorted(choices), default)
+    return default
+
+
 def set_seed(seed: int):
     """Pin host-side RNGs. Device-side randomness uses jax.random keys derived
     from the same seed (see train/loop.py)."""
