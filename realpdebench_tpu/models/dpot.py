@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from realpdebench_tpu.ops.activations import gelu as act_gelu
+from realpdebench_tpu.ops import spectral as S
 import numpy as np
 
 ACT = {
@@ -52,9 +53,17 @@ def fft_resize_2d(x, out_size):
     Ho, Wo = out_size
     # to [..., H, W] minor for rfft2 semantics of the reference (channels first)
     xc = jnp.moveaxis(x, -1, 1)  # [B, F, H, W]
-    f = jnp.fft.rfft2(xc)
+    if S.use_dft_matmul():
+        # dense-DFT planes: shards over dp (jnp.fft would all-gather the
+        # batch — GSPMD cannot partition the FFT HLO) and stays real
+        fr, fi = S.rfftn_planes(xc, axes=(2, 3))
+        Wr = fr.shape[-1]
+    else:
+        f = jnp.fft.rfft2(xc)
+        fr, fi = f.real, f.imag
+        Wr = f.shape[-1]
     top1 = min((H + 1) // 2, (Ho + 1) // 2)
-    top2 = min(f.shape[-1], Wo // 2 + 1)
+    top2 = min(Wr, Wo // 2 + 1)
     bot1 = min(H // 2, Ho // 2)
     # scatter on real/imag planes (complex scatters do not lower on some TPU
     # runtimes); complex exists only at the FFT boundary
@@ -66,10 +75,13 @@ def fft_resize_2d(x, out_size):
     if bot1:
         slices.append((..., slice(-bot1, None), slice(None, top2)))
     for sl in slices:
-        zr = zr.at[sl].set(f[sl].real)
-        zi = zi.at[sl].set(f[sl].imag)
-    out = jnp.fft.irfft2(jax.lax.complex(zr, zi), s=(Ho, Wo)) \
-        * (Ho / H) * (Wo / W)
+        zr = zr.at[sl].set(fr[sl])
+        zi = zi.at[sl].set(fi[sl])
+    if S.use_dft_matmul():
+        out = S.irfftn_planes(zr, zi, s=(Ho, Wo), axes=(2, 3))
+    else:
+        out = jnp.fft.irfft2(jax.lax.complex(zr, zi), s=(Ho, Wo))
+    out = out * (Ho / H) * (Wo / W)
     return jnp.moveaxis(out, 1, -1)
 
 
@@ -84,12 +96,18 @@ def fft_resize_3d(x, out_size):
     H, W, D = x.shape[1], x.shape[2], x.shape[3]
     Ho, Wo, Do = out_size
     xc = jnp.moveaxis(x, -1, 1)  # [B, F, H, W, D]
-    f = jnp.fft.rfftn(xc.astype(jnp.float32), axes=(2, 3, 4))
+    if S.use_dft_matmul():
+        fr, fi = S.rfftn_planes(xc, axes=(2, 3, 4))
+        d_in = fr.shape[-1]
+    else:
+        f = jnp.fft.rfftn(xc.astype(jnp.float32), axes=(2, 3, 4))
+        fr, fi = f.real, f.imag
+        d_in = f.shape[-1]
     h1 = min((H + 1) // 2, (Ho + 1) // 2)
     h2 = min(H // 2, Ho // 2)
     w1 = min((W + 1) // 2, (Wo + 1) // 2)
     w2 = min(W // 2, Wo // 2)
-    d1 = min(f.shape[-1], Do // 2 + 1)
+    d1 = min(d_in, Do // 2 + 1)
     zr = jnp.zeros((*xc.shape[:2], Ho, Wo, Do // 2 + 1), jnp.float32)
     zi = zr
     # h2/w2 == 0 (axis size 1): slice(-0, None) selects the whole axis —
@@ -99,10 +117,14 @@ def fft_resize_3d(x, out_size):
     for sh in h_slices:
         for sw in w_slices:
             sl = (..., sh, sw, slice(None, d1))
-            zr = zr.at[sl].set(f[sl].real)
-            zi = zi.at[sl].set(f[sl].imag)
-    out = jnp.fft.irfftn(jax.lax.complex(zr, zi), s=(Ho, Wo, Do),
-                         axes=(2, 3, 4)) * (Ho / H) * (Wo / W) * (Do / D)
+            zr = zr.at[sl].set(fr[sl])
+            zi = zi.at[sl].set(fi[sl])
+    if S.use_dft_matmul():
+        out = S.irfftn_planes(zr, zi, s=(Ho, Wo, Do), axes=(2, 3, 4))
+    else:
+        out = jnp.fft.irfftn(jax.lax.complex(zr, zi), s=(Ho, Wo, Do),
+                             axes=(2, 3, 4))
+    out = out * (Ho / H) * (Wo / W) * (Do / D)
     return jnp.moveaxis(out, 1, -1)
 
 
@@ -141,13 +163,22 @@ class AFNO2D(nn.Module):
         act = ACT[self.act]
 
         x_orig = x
-        xf = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="ortho")
-        Wr = xf.shape[2]
+        if S.use_dft_matmul():
+            # dense-DFT planes over the small token grid: dp-shardable
+            # (jnp.fft all-gathers — GSPMD cannot partition the FFT HLO),
+            # real arithmetic end to end, MXU-sized matmuls
+            xfr, xfi = S.rfftn_planes(x, axes=(1, 2), norm="ortho")
+            Wr = xfr.shape[2]
+        else:
+            xf = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2),
+                               norm="ortho")
+            xfr, xfi = xf.real, xf.imag
+            Wr = xf.shape[2]
         # split into real/imag BEFORE any reshape: complex reshapes (like
         # complex dots) fail to lower on some TPU runtimes, so all shaping
         # happens on real planes and complex exists only at the FFT boundary
-        xr_full = xf.real.reshape(B, H, Wr, self.num_blocks, bs)
-        xi_full = xf.imag.reshape(B, H, Wr, self.num_blocks, bs)
+        xr_full = xfr.reshape(B, H, Wr, self.num_blocks, bs)
+        xi_full = xfi.reshape(B, H, Wr, self.num_blocks, bs)
 
         km = self.modes
         k1 = min(km, H)
@@ -177,9 +208,14 @@ class AFNO2D(nn.Module):
         fi = jnp.zeros((B, H, Wr, self.num_blocks, bs), f32)
         fr = fr.at[:, :k1, :k2].set(o2r.astype(f32))
         fi = fi.at[:, :k1, :k2].set(o2i.astype(f32))
-        out_f = jax.lax.complex(fr.reshape(B, H, Wr, C),
-                                fi.reshape(B, H, Wr, C))
-        out = jnp.fft.irfft2(out_f, s=(H, W), axes=(1, 2), norm="ortho")
+        if S.use_dft_matmul():
+            out = S.irfftn_planes(fr.reshape(B, H, Wr, C),
+                                  fi.reshape(B, H, Wr, C),
+                                  s=(H, W), axes=(1, 2), norm="ortho")
+        else:
+            out_f = jax.lax.complex(fr.reshape(B, H, Wr, C),
+                                    fi.reshape(B, H, Wr, C))
+            out = jnp.fft.irfft2(out_f, s=(H, W), axes=(1, 2), norm="ortho")
         return out + x_orig
 
 

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from realpdebench_tpu.models.dpot import ACT, _uniform_init
+from realpdebench_tpu.ops import spectral as SP
 
 
 class AFNO3D(nn.Module):
@@ -47,13 +48,20 @@ class AFNO3D(nn.Module):
         act = ACT[self.act]
 
         x_orig = x
-        xf = jnp.fft.rfftn(x.astype(jnp.float32), axes=(1, 2, 3), norm="ortho")
-        S1, S2, S3 = xf.shape[1], xf.shape[2], xf.shape[3]
+        if SP.use_dft_matmul():
+            # dense-DFT planes: dp-shardable (jnp.fft all-gathers — GSPMD
+            # cannot partition the FFT HLO) and real end to end
+            xfr, xfi = SP.rfftn_planes(x, axes=(1, 2, 3), norm="ortho")
+        else:
+            xf = jnp.fft.rfftn(x.astype(jnp.float32), axes=(1, 2, 3),
+                               norm="ortho")
+            xfr, xfi = xf.real, xf.imag
+        S1, S2, S3 = xfr.shape[1], xfr.shape[2], xfr.shape[3]
         # real/imag split before reshaping: complex reshapes do not lower on
         # some TPU runtimes — keep complex only at the FFT boundary
         bshape = (B, S1, S2, S3, self.num_blocks, bs)
-        xr_full = xf.real.reshape(bshape)
-        xi_full = xf.imag.reshape(bshape)
+        xr_full = xfr.reshape(bshape)
+        xi_full = xfi.reshape(bshape)
 
         k1 = min(self.modes, S1)
         k2 = min(self.modes, S2)
@@ -74,9 +82,15 @@ class AFNO3D(nn.Module):
         # arithmetic do not lower on some TPU runtimes).
         fr = jnp.zeros(bshape, jnp.float32).at[:, :k1, :k2, :k3].set(o2r)
         fi = jnp.zeros(bshape, jnp.float32).at[:, :k1, :k2, :k3].set(o2i)
-        out_f = jax.lax.complex(fr.reshape(B, S1, S2, S3, C),
-                                fi.reshape(B, S1, S2, S3, C))
-        out = jnp.fft.irfftn(out_f, s=(H, W, L), axes=(1, 2, 3), norm="ortho")
+        if SP.use_dft_matmul():
+            out = SP.irfftn_planes(fr.reshape(B, S1, S2, S3, C),
+                                   fi.reshape(B, S1, S2, S3, C),
+                                   s=(H, W, L), axes=(1, 2, 3), norm="ortho")
+        else:
+            out_f = jax.lax.complex(fr.reshape(B, S1, S2, S3, C),
+                                    fi.reshape(B, S1, S2, S3, C))
+            out = jnp.fft.irfftn(out_f, s=(H, W, L), axes=(1, 2, 3),
+                                 norm="ortho")
         return out + x_orig
 
 

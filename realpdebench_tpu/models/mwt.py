@@ -101,21 +101,31 @@ class SparseKernelFT3d(nn.Module):
         # Deep (tiny) levels where 2·l exceeds the axis: corner writes
         # overlap, and the reference's overwrite semantics (later corner
         # wins) require the explicit spectrum assembly below.
-        x_ft = jnp.fft.rfftn(xf, axes=(1, 2, 3))  # [B, Nx, Ny, T//2+1, ck2]
+        from realpdebench_tpu.ops import spectral as SP
 
-        corners = jnp.stack(
-            [
-                x_ft[:, :l1, :l2, :l3, :],
-                x_ft[:, -l1:, :l2, :l3, :],
-                x_ft[:, :l1, -l2:, :l3, :],
-                x_ft[:, -l1:, -l2:, :l3, :],
-            ],
-            axis=1,
-        )  # [B, 4, l1, l2, l3, ck2]
+        if SP.use_dft_matmul():
+            # dense-DFT planes on the tiny grid: dp-shardable (jnp.fft
+            # all-gathers the batch — GSPMD cannot partition the FFT HLO)
+            ftr_in, fti_in = SP.rfftn_planes(xf, axes=(1, 2, 3))
+        else:
+            x_ft = jnp.fft.rfftn(xf, axes=(1, 2, 3))
+            ftr_in, fti_in = x_ft.real, x_ft.imag
+
+        def _corners(z):
+            return jnp.stack(
+                [
+                    z[:, :l1, :l2, :l3, :],
+                    z[:, -l1:, :l2, :l3, :],
+                    z[:, :l1, -l2:, :l3, :],
+                    z[:, -l1:, -l2:, :l3, :],
+                ],
+                axis=1,
+            )  # [B, 4, l1, l2, l3, ck2]
+
         # Complex contraction unrolled into real einsums: complex dots do not
         # lower on some TPU runtimes, and real GEMMs are the MXU-native form
         # anyway (same trick as ops/spectral.py's DFT path).
-        xr, xi = corners.real, corners.imag
+        xr, xi = _corners(ftr_in), _corners(fti_in)
         out_r = (jnp.einsum("bkxyzi,kxyzio->bkxyzo", xr, wrc)
                  - jnp.einsum("bkxyzi,kxyzio->bkxyzo", xi, wic))
         out_i = (jnp.einsum("bkxyzi,kxyzio->bkxyzo", xr, wic)
@@ -132,9 +142,11 @@ class SparseKernelFT3d(nn.Module):
         )):
             ftr = ftr.at[idx].set(out_r[:, j])
             fti = fti.at[idx].set(out_i[:, j])
-        out_ft = jax.lax.complex(ftr, fti)
-
-        out = jnp.fft.irfftn(out_ft, s=(Nx, Ny, T), axes=(1, 2, 3))
+        if SP.use_dft_matmul():
+            out = SP.irfftn_planes(ftr, fti, s=(Nx, Ny, T), axes=(1, 2, 3))
+        else:
+            out = jnp.fft.irfftn(jax.lax.complex(ftr, fti), s=(Nx, Ny, T),
+                                 axes=(1, 2, 3))
         out = nn.relu(out)
         out = nn.Dense(ck2, name="Lo")(out)
         return out.reshape(B, Nx, Ny, T, c, ich)

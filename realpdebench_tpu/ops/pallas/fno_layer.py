@@ -628,8 +628,17 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
     mxu = jnp.bfloat16 if x_dtype == jnp.bfloat16 else None
     # packed spectra (y, dg) cross the kernel↔mid boundary at the layer's
     # compute dtype: bf16 halves those HBM passes (the mid already runs
-    # bf16 einsums in that regime); f32 layers keep f32 spectra bit-stable
+    # bf16 einsums in that regime); f32 layers keep f32 spectra bit-stable.
+    # REALPDEBENCH_FNO_SPEC=f32 opts the boundary back to f32 so a
+    # loss-curve regression can be bisected to this precision trade
+    # (advisor r4) — it changes w_real/w_imag wgrad rounding, not traffic
+    # semantics.
+    from realpdebench_tpu.utils.misc import env_choice
+
+    _spec = env_choice("REALPDEBENCH_FNO_SPEC", ("bf16", "f32"), None)
     spec_dtype = x_dtype if mxu is not None else jnp.float32
+    if _spec is not None:
+        spec_dtype = jnp.bfloat16 if _spec == "bf16" else jnp.float32
     kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, mxu=mxu, aligned=aligned,
               tdims=tdims, selfuse=selfuse)
     cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)

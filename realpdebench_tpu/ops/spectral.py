@@ -293,3 +293,122 @@ def truncated_spectral_conv3d_dft_lowp(x, w_real, w_imag,
     h2 = jnp.concatenate([hr, hi], axis=3)
     I2 = jnp.concatenate([IwR, IwI], axis=0)
     return mm(h2, I2, "bthic,iw->bthwc")
+
+
+# ---------------------------------------------------------------------------
+# Generic real-FFT-as-matmul plane helpers (round 5)
+# ---------------------------------------------------------------------------
+#
+# GSPMD cannot partition the FFT HLO: any jnp.fft.* on a dp-sharded batch
+# all-gathers the WHOLE operand into every device (caught by
+# tests/test_multichip_lowering.py::test_collective_audit — DPOT's AFNO
+# filters and fft_resize, and MWT's inverse transform, each gathered their
+# full microbatch per call). Dense DFT matmuls shard like any dot, keep all
+# arithmetic REAL (complex dots/scatters do not lower on some TPU runtimes,
+# NOTES gotcha 8), and at benchmark sizes (<=128-point axes) run happily on
+# the MXU. These helpers are drop-in plane-based replacements:
+#
+#   rfftn_planes(x, axes, norm)          == jnp.fft.rfftn(x, axes=axes) as
+#                                           (real, imag) f32 planes
+#   irfftn_planes(re, im, s, axes, norm) == jnp.fft.irfftn(re + 1j*im, ...)
+#
+# The last entry of `axes` is the half-spectrum (rfft) axis, as in numpy.
+# REALPDEBENCH_DFT_MATMUL=0 routes callers back to jnp.fft (A/B, and a
+# hedge on very large axes where an FFT's N·logN wins).
+
+
+def use_dft_matmul() -> bool:
+    from realpdebench_tpu.utils.misc import env_flag
+
+    return env_flag("REALPDEBENCH_DFT_MATMUL", default=True)
+
+
+@_lru_cache(maxsize=64)
+def _rdft_mats(n: int):
+    """Real forward DFT to the half spectrum: x @ C, x @ S — [n, n//2+1]."""
+    m = n // 2 + 1
+    th = 2 * np.pi * np.outer(np.arange(n), np.arange(m)) / n
+    return (np.cos(th).astype(np.float32), (-np.sin(th)).astype(np.float32))
+
+
+@_lru_cache(maxsize=64)
+def _irdft_mats(n: int):
+    """Half spectrum back to real n (Hermitian weights + 1/n): [m, n] pair
+    so that out = re @ R + im @ I."""
+    m = n // 2 + 1
+    k = np.arange(m)[:, None]
+    t = np.arange(n)[None, :]
+    w = np.ones((m, 1), np.float64) * 2.0
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    th = 2 * np.pi * k * t / n
+    return ((w * np.cos(th) / n).astype(np.float32),
+            (-w * np.sin(th) / n).astype(np.float32))
+
+
+@_lru_cache(maxsize=64)
+def _cdft_mats(n: int, inverse: bool):
+    """Full complex DFT as a real matrix pair C + iS (inverse includes 1/n)."""
+    th = 2 * np.pi * np.outer(np.arange(n), np.arange(n)) / n
+    sgn = 1.0 if inverse else -1.0
+    C = np.cos(th)
+    S = sgn * np.sin(th)
+    if inverse:
+        C, S = C / n, S / n
+    return C.astype(np.float32), S.astype(np.float32)
+
+
+def _apply_last(re, im, C, S):
+    """(re + i·im) @ (C + i·S) along the last axis, real arithmetic."""
+    C = jnp.asarray(C)
+    S = jnp.asarray(S)
+    if im is None:
+        return re @ C, re @ S
+    return re @ C - im @ S, re @ S + im @ C
+
+
+def rfftn_planes(x, axes, norm=None):
+    """jnp.fft.rfftn as (re, im) f32 planes via dense matmuls (see above).
+    `axes[-1]` is the rfft (half-spectrum) axis."""
+    axes = tuple(axes)
+    x = x.astype(jnp.float32)
+    n_total = 1
+    a = axes[-1]
+    n = x.shape[a]
+    n_total *= n
+    re, im = _apply_last(jnp.moveaxis(x, a, -1), None, *_rdft_mats(n))
+    re, im = jnp.moveaxis(re, -1, a), jnp.moveaxis(im, -1, a)
+    for a in axes[:-1]:
+        n = x.shape[a]
+        n_total *= n
+        re_m, im_m = jnp.moveaxis(re, a, -1), jnp.moveaxis(im, a, -1)
+        re_m, im_m = _apply_last(re_m, im_m, *_cdft_mats(n, False))
+        re, im = jnp.moveaxis(re_m, -1, a), jnp.moveaxis(im_m, -1, a)
+    if norm == "ortho":
+        s = np.float32(1.0 / np.sqrt(n_total))
+        re, im = re * s, im * s
+    return re, im
+
+
+def irfftn_planes(re, im, s, axes, norm=None):
+    """jnp.fft.irfftn of (re + i·im) via dense matmuls. `s` are the output
+    sizes for `axes`; the half-spectrum axis is `axes[-1]` with input size
+    s[-1]//2 + 1."""
+    axes = tuple(axes)
+    s = tuple(int(v) for v in s)
+    n_total = int(np.prod(s))
+    re = re.astype(jnp.float32)
+    im = im.astype(jnp.float32)
+    for a, n in zip(axes[:-1], s[:-1]):
+        re_m, im_m = jnp.moveaxis(re, a, -1), jnp.moveaxis(im, a, -1)
+        re_m, im_m = _apply_last(re_m, im_m, *_cdft_mats(n, True))
+        re, im = jnp.moveaxis(re_m, -1, a), jnp.moveaxis(im_m, -1, a)
+    a, n = axes[-1], s[-1]
+    R, I = _irdft_mats(n)
+    out = (jnp.moveaxis(re, a, -1) @ jnp.asarray(R)
+           + jnp.moveaxis(im, a, -1) @ jnp.asarray(I))
+    out = jnp.moveaxis(out, -1, a)
+    if norm == "ortho":
+        out = out * np.float32(np.sqrt(n_total))
+    return out

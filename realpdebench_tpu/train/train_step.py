@@ -126,8 +126,28 @@ def make_train_step(
             k = grad_accum
             b = xn.shape[0]
             assert b % k == 0, f"batch {b} not divisible by grad_accum {k}"
-            xm = xn.reshape(k, b // k, *xn.shape[1:])
-            ym = yn.reshape(k, b // k, *yn.shape[1:])
+            if mesh_ctx is not None:
+                # STRIDED microbatch composition (rows {r*k + i} form
+                # microbatch i): every device's dp shard contributes rows to
+                # every microbatch, so the scan's per-iteration slice of the
+                # UNSHARDED leading axis is communication-free. The naive
+                # contiguous reshape(k, b//k) makes microbatch i coincide
+                # with device i's shard, and GSPMD then all-gathers the FULL
+                # global batch into every device each step (755 MB/device at
+                # reference fno scale — caught by
+                # tests/test_multichip_lowering.py's collective audit).
+                # Gradient/loss averages are composition-invariant; ghost-
+                # batch BN statistics change composition only (documented
+                # deviation unchanged).
+                xm = xn.reshape(b // k, k, *xn.shape[1:]).swapaxes(0, 1)
+                ym = yn.reshape(b // k, k, *yn.shape[1:]).swapaxes(0, 1)
+                mb_spec = lambda t: mesh_ctx.sharding(
+                    None, "dp", *([None] * (t.ndim - 2)))
+                xm = jax.lax.with_sharding_constraint(xm, mb_spec(xm))
+                ym = jax.lax.with_sharding_constraint(ym, mb_spec(ym))
+            else:
+                xm = xn.reshape(k, b // k, *xn.shape[1:])
+                ym = yn.reshape(k, b // k, *yn.shape[1:])
             rngs = jax.random.split(rng, k)
 
             def micro(carry, inp):

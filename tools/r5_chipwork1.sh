@@ -16,6 +16,14 @@ if [ -n "$1" ]; then
   while kill -0 "$1" 2>/dev/null; do sleep 20; done
 fi
 
+# wait for the TPU tunnel (r3_chipwork2.sh pattern; init blocks ~minutes
+# when the tunnel is down, hence the generous per-probe timeout)
+until timeout 300 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" 2>/dev/null; do
+  lg "tpu still down"
+  sleep 180
+done
+lg "tpu up"
+
 AB=bench_results/r5/headline_bisect.jsonl
 
 run_at() {
