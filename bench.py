@@ -14,6 +14,7 @@ device-synthesized data. Prints ONE JSON line:
 
 import json
 import os
+import pathlib
 import time
 
 import jax
@@ -244,6 +245,19 @@ def main():
         "flops_model": flops_src,
         **dp8,
     }
+    # measured same-host torch-vs-jax anchor (tools/cpu_matched_baseline.py):
+    # the one hard cross-framework number available without egress/GPU
+    cpu_anchor = pathlib.Path(__file__).parent / "bench_results" / "r5" / \
+        "cpu_matched_baseline.json"
+    if cpu_anchor.exists():
+        try:
+            a = json.loads(cpu_anchor.read_text())
+            result["cpu_matched"] = {
+                "jax_over_torch_speedup": a["jax_over_torch_speedup"],
+                "note": a["note"],
+            }
+        except (KeyError, ValueError):
+            pass
     print(json.dumps(result))
 
 

@@ -155,16 +155,6 @@ def _ct_consts(Hp: int, Wp: int, m2: int, m3: int):
     )
 
 
-def _mcast(v, mxu):
-    """Cast to the MXU input dtype BEFORE a Mosaic transpose/concat.
-
-    ``_dot`` casts its operands to bf16 anyway (when ``mxu`` is set), and an
-    elementwise cast commutes with any permutation, so casting first is
-    bitwise identical — but the rows↔lanes relayout then shuffles half the
-    bytes. No-op on the f32 path (``mxu=None``)."""
-    return v if mxu is None else v.astype(mxu)
-
-
 def _dot(a, b, contract, mxu=None):
     """MXU dot with f32 accumulation. ``mxu=bfloat16`` casts both operands
     (bf16 multiplies run ~4x the f32 rate on the v5e MXU); selected only
@@ -243,24 +233,22 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp, xmask,
     Xi = S[:, :C, m3:2 * m3] + S[:, C:, 3 * m3:]
     # H stage (contract Hp8): put Hp8 minor, then flatten (kk, C, m3) into
     # the matmul M dim — shared-RHS batched dots become ONE 2-D dot
-    # (cast-early: the transpose shuffles bf16, not f32 — see _mcast)
-    XrT = _mcast(Xr, mxu).reshape(kk, Hp8, C, m3).transpose(
-        0, 2, 3, 1).reshape(kk * C * m3, Hp8)
-    XiT = _mcast(Xi, mxu).reshape(kk, Hp8, C, m3).transpose(
-        0, 2, 3, 1).reshape(kk * C * m3, Hp8)
+    XrT = Xr.reshape(kk, Hp8, C, m3).transpose(0, 2, 3, 1).reshape(
+        kk * C * m3, Hp8)
+    XiT = Xi.reshape(kk, Hp8, C, m3).transpose(0, 2, 3, 1).reshape(
+        kk * C * m3, Hp8)
     A = dot(XrT, ehp[:], (((1,), (0,))))          # [kk*C*m3, 4m2]
     Bm = dot(XiT, ehp[:], (((1,), (0,))))
     m2x2 = A.shape[1] // 2
     yR = A[:, :m2x2] - Bm[:, m2x2:]                # [kk*C*m3, 2m2]
     yI = A[:, m2x2:] + Bm[:, :m2x2]
-    # pack → sublanes (j2, m), lanes (ri, c); cast to the output dtype
-    # BEFORE the pack transposes (identical rounding, half the shuffle)
-    yRp = yR.astype(y_ref.dtype).reshape(
-        kk, C, m3, m2x2).transpose(0, 3, 2, 1).reshape(kk * m2x2 * m3, C)
-    yIp = yI.astype(y_ref.dtype).reshape(
-        kk, C, m3, m2x2).transpose(0, 3, 2, 1).reshape(kk * m2x2 * m3, C)
+    # pack → sublanes (j2, m), lanes (ri, c)
+    yRp = yR.reshape(kk, C, m3, m2x2).transpose(0, 3, 2, 1).reshape(
+        kk * m2x2 * m3, C)
+    yIp = yI.reshape(kk, C, m3, m2x2).transpose(0, 3, 2, 1).reshape(
+        kk * m2x2 * m3, C)
     y_ref[...] = jnp.concatenate([yRp, yIp], axis=1).reshape(
-        kk, m2x2 * m3, C2)                          # [kk, 2m2*m3, 2C]
+        kk, m2x2 * m3, C2).astype(y_ref.dtype)      # [kk, 2m2*m3, 2C]
 
 
 # ---------------------------------------------------------------------------
@@ -290,10 +278,8 @@ def _k2_kernel(g_ref, x_ref, a2_ref, b2_ref, wp2_ref, bp2_ref,
     Bm = dot(gIT, ihp[:], (((1,), (0,))))
     ihR = A[:, :Hp8] - Bm[:, Hp8:]
     ihI = Bm[:, :Hp8] + A[:, Hp8:]
-    # cast-early: the (kk,m3,C,Hp8)→(kk,Hp8,C,m3) relayout shuffles bf16
-    ihRT = _mcast(ihR, mxu).reshape(kk, m3, C, Hp8).transpose(
-        0, 3, 2, 1)                                 # [kk,Hp8,C,m3]
-    ihIT = _mcast(ihI, mxu).reshape(kk, m3, C, Hp8).transpose(0, 3, 2, 1)
+    ihRT = ihR.reshape(kk, m3, C, Hp8).transpose(0, 3, 2, 1)  # [kk,Hp8,C,m3]
+    ihIT = ihI.reshape(kk, m3, C, Hp8).transpose(0, 3, 2, 1)
     # inverse W per output parity (Hermitian-doubled real projection):
     # lane-concat (re ‖ im) once, contract against the row-stacked [re; im]
     # inverse matrices
@@ -388,10 +374,10 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
         QO = dot(ds4, iwot[:], (((1,), (0,))))
         dihRT3 = QE[:, :C, :m3] + QO[:, C:, :m3]  # [kk*Hp8, C, m3]
         dihIT3 = QE[:, :C, m3:] + QO[:, C:, m3:]
-        dihR = _mcast(dihRT3, mxu).reshape(kk, Hp8, C, m3).transpose(
-            0, 3, 2, 1).reshape(kk * m3 * C, Hp8)
-        dihI = _mcast(dihIT3, mxu).reshape(kk, Hp8, C, m3).transpose(
-            0, 3, 2, 1).reshape(kk * m3 * C, Hp8)
+        dihR = dihRT3.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
+            kk * m3 * C, Hp8)
+        dihI = dihIT3.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
+            kk * m3 * C, Hp8)
     else:
         # adjoint of the output packing: parity selection via GEMMs (big
         # lane slices cost ~8 us/block on this Mosaic; MXU selection ~0.3)
@@ -414,23 +400,20 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
         AO = dot(dyO, iwot[:], (((1,), (0,))))
         dihRT = AE[:, :m3] + AO[:, :m3]
         dihIT = AE[:, m3:] + AO[:, m3:]
-        dihR = _mcast(dihRT, mxu).reshape(kk, Hp8, C, m3).transpose(
-            0, 3, 2, 1).reshape(kk * m3 * C, Hp8)
-        dihI = _mcast(dihIT, mxu).reshape(kk, Hp8, C, m3).transpose(
-            0, 3, 2, 1).reshape(kk * m3 * C, Hp8)
+        dihR = dihRT.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
+            kk * m3 * C, Hp8)
+        dihI = dihIT.reshape(kk, Hp8, C, m3).transpose(0, 3, 2, 1).reshape(
+            kk * m3 * C, Hp8)
     # adjoint inverse H: [IhR.T | IhI.T] packed, (kk, m3, C) flattened into M
     A = dot(dihR, ihpt[:], (((1,), (0,))))        # [kk*m3*C, 4m2]
     Bm = dot(dihI, ihpt[:], (((1,), (0,))))
     m2x2 = A.shape[1] // 2
-    # cast to the output dtype BEFORE the pack transposes (same rounding)
-    dgR3 = (A[:, :m2x2] + Bm[:, m2x2:]).astype(dg_ref.dtype).reshape(
-        kk, m3, C, m2x2)
-    dgI3 = (Bm[:, :m2x2] - A[:, m2x2:]).astype(dg_ref.dtype).reshape(
-        kk, m3, C, m2x2)
+    dgR3 = (A[:, :m2x2] + Bm[:, m2x2:]).reshape(kk, m3, C, m2x2)
+    dgI3 = (Bm[:, :m2x2] - A[:, m2x2:]).reshape(kk, m3, C, m2x2)
     dgR = dgR3.transpose(0, 3, 1, 2).reshape(kk * m2x2 * m3, C)
     dgI = dgI3.transpose(0, 3, 1, 2).reshape(kk * m2x2 * m3, C)
     dg_ref[...] = jnp.concatenate([dgR, dgI], axis=1).reshape(
-        kk, m2x2 * m3, C2)
+        kk, m2x2 * m3, C2).astype(dg_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -457,11 +440,10 @@ def _k12b_kernel(x_ref, a2_ref, b2_ref, wp2t_ref, s_ref, ds_ref,
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
     A = dot(dyR, ehpt[:], (((1,), (0,))))         # [kk*C*m3, 2Hp8]
     Bm = dot(dyI, ehpt[:], (((1,), (0,))))
-    # cast-early: the mode-space relayouts shuffle bf16, not f32
-    dXr = _mcast(A[:, :Hp8] + Bm[:, Hp8:], mxu).reshape(
-        kk, C, m3, Hp8).transpose(0, 3, 1, 2)      # [kk, Hp8, C, m3]
-    dXi = _mcast(Bm[:, :Hp8] - A[:, Hp8:], mxu).reshape(
-        kk, C, m3, Hp8).transpose(0, 3, 1, 2)
+    dXr = (A[:, :Hp8] + Bm[:, Hp8:]).reshape(kk, C, m3, Hp8).transpose(
+        0, 3, 1, 2)                                # [kk, Hp8, C, m3]
+    dXi = (Bm[:, :Hp8] - A[:, Hp8:]).reshape(kk, C, m3, Hp8).transpose(
+        0, 3, 1, 2)
     # adjoint of the twiddle-folded W stage: even-parity channels see
     # E67.T, odd-parity see (E67·tw).T; lanes re-merged via selection GEMMs
     # (mirrors K2's inverse-W structure)
