@@ -663,6 +663,14 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
         out_shape=(jax.ShapeDtypeStruct((BT, R, C2), x_dtype),
                    jax.ShapeDtypeStruct((C2, C2), jnp.float32),
                    jax.ShapeDtypeStruct((3, C2), jnp.float32)),
+        # dx overwrites the dead incoming cotangent ds (operand 5): the
+        # roofline3 probe showed distinct in/out HBM buffers cost ~212 GB/s
+        # vs ~311 aliased — the "pallas DMA ceiling" was an aliasing
+        # artifact. Same block index map, so block i's ds read always
+        # precedes block i's dx write; prefetch of ds[i+1] overlaps only
+        # the disjoint dx[i] region. K12B is ds's last consumer (K2A runs
+        # first), so XLA aliases without a protective copy.
+        input_output_aliases={5: 0},
         **cp,
     )
     return k1, k2, k2a, k12b
