@@ -195,9 +195,16 @@ class MWTCZ3d(nn.Module):
         Cm = SparseKernel3d(self.k, self.c, dtype=self.dtype, name="C")
 
         def wavelet_transform(z):
+            # even/odd split via reshape + unit-axis slices. The strided
+            # z[:, ::2, ::2] form lowered as a gather fusion whose scoped
+            # vmem scales with the microbatch (28-56 MB vs the 16 MB stack
+            # limit — compile OOM below accum=4) and fed the copy-dominated
+            # profile (bench_results/r5/profile_mwt_r5.log).
+            b, nx, ny = z.shape[:3]
+            z2 = z.reshape(b, nx // 2, 2, ny // 2, 2, *z.shape[3:])
             za = jnp.concatenate(
-                [z[:, ::2, ::2], z[:, ::2, 1::2],
-                 z[:, 1::2, ::2], z[:, 1::2, 1::2]], axis=-1
+                [z2[:, :, 0, :, 0], z2[:, :, 0, :, 1],
+                 z2[:, :, 1, :, 0], z2[:, :, 1, :, 1]], axis=-1
             )
             return za @ ec_d, za @ ec_s  # (detail, smooth)
 

@@ -155,6 +155,140 @@ def _ct_consts(Hp: int, Wp: int, m2: int, m3: int):
     )
 
 
+def _np_mirrors(Hp: int, Wp: int, m2: int, m3: int):
+    """Numpy mirrors of the three kernel-side spatial<->mode transforms,
+    batched over a trailing channel axis (the operators are channel-wise,
+    so the channel axis doubles as a basis batch). Shapes: spatial fields
+    [Hp8, J8, P=2, c] (rows (h, j), parity P), mode fields [Y, ri=2, c]
+    with Y = 2*m2*m3 rows (j2, m).
+
+      F — K1's truncated forward (W, H) DFT dots (post-activation part)
+      V — K2's inverse (H, W) DFT dots (selfuse form; same linear map)
+      A — K2A's adjoint dots (the vjp of V; A == V.T, see
+          tools/k2a_lite_derivation.py)
+
+    Used only at trace time to extract the K2A-lite statics (_lite_consts);
+    the tool above validates the identities against these same mirrors.
+    """
+    cst = _ct_consts(Hp, Wp, m2, m3)
+    J = Wp // 2
+    Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
+    m2x2 = 2 * m2
+    Y = m2x2 * m3
+    E67X, EhP = cst["E67X"], cst["EhP"]
+    IhP, IwE2, IwO2 = cst["IhP"], cst["IwE2"], cst["IwO2"]
+    IhPT, IwET, IwOT = cst["IhPT"], cst["IwET"], cst["IwOT"]
+
+    def F(z):
+        S = np.einsum("hjpc,jq->hpcq", z, E67X)
+        Xr = S[:, 0, :, 0:m3] + S[:, 1, :, 2 * m3:3 * m3]
+        Xi = S[:, 0, :, m3:2 * m3] + S[:, 1, :, 3 * m3:]
+        A_ = np.einsum("hcm,hq->cmq", Xr, EhP)
+        B_ = np.einsum("hcm,hq->cmq", Xi, EhP)
+        yR = A_[..., :m2x2] - B_[..., m2x2:]
+        yI = A_[..., m2x2:] + B_[..., :m2x2]
+        y = np.stack([yR.transpose(2, 1, 0), yI.transpose(2, 1, 0)], axis=1)
+        return y.transpose(0, 2, 1, 3).reshape(Y, 2, -1)
+
+    def V(g):
+        gR = g[:, 0].reshape(m2x2, m3, -1).transpose(1, 2, 0)
+        gI = g[:, 1].reshape(m2x2, m3, -1).transpose(1, 2, 0)
+        A_ = np.einsum("mcq,qx->mcx", gR, IhP)
+        B_ = np.einsum("mcq,qx->mcx", gI, IhP)
+        ihR = A_[..., :Hp8] - B_[..., Hp8:]
+        ihI = B_[..., :Hp8] + A_[..., Hp8:]
+        ihC = np.concatenate([ihR, ihI], axis=0)
+        yE = np.einsum("mch,mj->hjc", ihC, IwE2)
+        yO = np.einsum("mch,mj->hjc", ihC, IwO2)
+        return np.stack([yE, yO], axis=2)
+
+    def A(d):
+        QE = np.einsum("hjpc,jq->hpcq", d, IwET)
+        QO = np.einsum("hjpc,jq->hpcq", d, IwOT)
+        dihR = QE[:, 0, :, :m3] + QO[:, 1, :, :m3]
+        dihI = QE[:, 0, :, m3:] + QO[:, 1, :, m3:]
+        A_ = np.einsum("hcm,hq->mcq", dihR, IhPT)
+        B_ = np.einsum("hcm,hq->mcq", dihI, IhPT)
+        dgR = A_[..., :m2x2] + B_[..., m2x2:]
+        dgI = B_[..., :m2x2] - A_[..., m2x2:]
+        dg = np.stack([dgR.transpose(2, 0, 1), dgI.transpose(2, 0, 1)],
+                      axis=1)
+        return dg.transpose(0, 2, 1, 3).reshape(Y, 2, -1)
+
+    return F, V, A, (Hp8, J8, Y)
+
+
+@functools.lru_cache(maxsize=32)
+def _lite_consts(Hp: int, Wp: int, m2: int, m3: int):
+    """K2A-lite statics (f32 numpy): with s = V g + z @ Wp + bp and A the
+    channel-wise adjoint of V,
+
+        A(s) = M g + D * (F z) @ Wp + bp * A1
+             = M g + D * y @ Wp + bp * A1        (y is K1's saved output)
+
+    so the backward spectral cotangent dg = A(ds + ds1 + 2 ds2 s) becomes
+    A(ds) + ds1*A1 + 2 ds2 * A(s) with NO full-size s read. Returns
+      M  [Y, 2, Y, 2]  (out-(row, ri), in-(row, ri)) mode-space Gram A V
+      D  [Y, 2]        diagonal with A == diag(D) F (residual-asserted)
+      A1 [Y, 2]        A applied to the all-ones field
+    Derivation + validation: tools/k2a_lite_derivation.py.
+    """
+    F, V, A, (Hp8, J8, Y) = _np_mirrors(Hp, Wp, m2, m3)
+    # D from two random probes (least squares per mode), residual-checked
+    # on a third: A and F rows are proportional (same truncated DFT basis;
+    # V carries the irfft doubling/normalization weights, so D is the
+    # per-mode c_k/(H*W)-style diagonal).
+    rng = np.random.default_rng(12345)
+    p = rng.normal(size=(Hp8, J8, 2, 3))
+    u, v = A(p), F(p)
+    den = v[..., 0] ** 2 + v[..., 1] ** 2
+    num = u[..., 0] * v[..., 0] + u[..., 1] * v[..., 1]
+    D = np.where(den > 1e-20, num / np.maximum(den, 1e-20), 0.0)
+    resid = np.abs(u[..., 2] - D * v[..., 2]).max() / (
+        np.abs(u[..., 2]).max() + 1e-30)
+    if resid > 1e-4:
+        raise AssertionError(
+            f"K2A-lite: A != diag(D) F at (Hp={Hp}, Wp={Wp}, m2={m2}, "
+            f"m3={m3}); residual {resid:.2e}. Set "
+            "REALPDEBENCH_FNO_K2ALITE=0 and report.")
+    eyeY = np.eye(2 * Y, dtype=np.float64).reshape(Y, 2, 2 * Y)
+    M4 = A(V(eyeY)).reshape(Y, 2, Y, 2)   # [(row,ri)_out, (row,ri)_in]
+    A1 = A(np.ones((Hp8, J8, 2, 1)))[:, :, 0]
+    # M couples only +-kh conjugate mirror pairs at the SAME (m, ri): the
+    # irfft real projection aliases kh with -kh = H-kh and nothing else, so
+    # M g == alpha * g + beta * mirror_kh(g) with static [Y, 2] scales and
+    # a static j2-block row mirror (verified by exact reconstruction below;
+    # turns the per-block M GEMM into two VPU multiplies + a row shuffle).
+    m2x2 = 2 * m2
+    m3_ = Y // m2x2
+    mir = np.concatenate([[0], np.arange(m2x2 - 1, 0, -1)])  # j2 mirror
+    alpha = np.zeros((Y, 2))
+    beta = np.zeros((Y, 2))
+    for Yo in range(Y):
+        j2, m = divmod(Yo, m3_)
+        Ym = int(mir[j2]) * m3_ + m
+        for r in range(2):
+            alpha[Yo, r] = M4[Yo, r, Yo, r]
+            if Ym != Yo:
+                beta[Yo, r] = M4[Yo, r, Ym, r]
+    M_rec = np.zeros_like(M4)
+    for Yo in range(Y):
+        j2, m = divmod(Yo, m3_)
+        Ym = int(mir[j2]) * m3_ + m
+        for r in range(2):
+            M_rec[Yo, r, Yo, r] += alpha[Yo, r]
+            if Ym != Yo:
+                M_rec[Yo, r, Ym, r] = beta[Yo, r]
+    mres = np.abs(M_rec - M4).max() / (np.abs(M4).max() + 1e-30)
+    if mres > 1e-5:
+        raise AssertionError(
+            f"K2A-lite: M is not (alpha, beta, kh-mirror)-structured at "
+            f"(Hp={Hp}, Wp={Wp}, m2={m2}, m3={m3}); residual {mres:.2e}. "
+            "Set REALPDEBENCH_FNO_K2ALITE=0 and report.")
+    f32 = lambda a: np.ascontiguousarray(a.astype(np.float32))
+    return f32(alpha), f32(beta), f32(D), f32(A1)
+
+
 def _dot(a, b, contract, mxu=None):
     """MXU dot with f32 accumulation. ``mxu=bfloat16`` casts both operands
     (bf16 multiplies run ~4x the f32 rate on the v5e MXU); selected only
@@ -362,6 +496,66 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
     sm = s_ref[...].reshape(kk * R, C2).astype(jnp.float32)
     dsm = ds_ref[...].reshape(kk * R, C2).astype(jnp.float32)
     ds_eff = dsm + ds1_ref[:] + 2.0 * sm * ds2_ref[:]
+    _k2a_adjoint_write(ds_eff, ihpt, iwet, iwot, selE, selO, dg_ref, dot,
+                       Hp=Hp, J=J, C2=C2, m3=m3, aligned=aligned, kk=kk,
+                       selfuse=selfuse)
+
+
+def _k2a_lite_kernel(ds_ref, g_ref, y_ref, dsc_ref, wp2s_ref,
+                     ihpt, iwet, iwot, selE, selO,
+                     alf, bef, a1f, df, dg_ref, *, Hp, J, C2, m3, act, mxu,
+                     aligned, kk=1, tdims=None, selfuse=True):
+    """K2A without the s read. dg = A(ds) + ds1*A1 + 2 ds2 * A(s), with
+    A(s) reconstructed from the SMALL mode-space residuals instead of
+    re-streaming s:  A(s) = M g + D*(y @ Wp2) + bp*A1  (static identities,
+    residual-checked in _lite_consts; derivation in
+    tools/k2a_lite_derivation.py).
+
+    Cost history: an XLA-side correction streamed ~1.3 GB/step of f32
+    temporaries (chip 4.626); an in-kernel M GEMM added ~150 GFLOP/step of
+    small-N dots (4.783) — both gave the read saving back. This version
+    exploits M's exact (alpha, beta, kh-mirror) structure (the irfft real
+    projection aliases only +-kh pairs) and folds 2*ds2 into the wp2s
+    matrix and ds1/bp into dsc outside, leaving per block: three VPU
+    multiplies, one m3-block row mirror, and ONE [Y, C2]x[C2, C2] dot.
+
+    Inputs: dsc = ds1 + 2*ds2*bp2 (per-lane), wp2s = wp2 * 2*ds2 (columns
+    scaled); g is pre-scaled by 2*ds2 OUTSIDE? No — g arrives raw; the
+    2*ds2 fold happens here via wp2s for y and via dsc/alpha-beta applied
+    to gs = 2*ds2*g (one multiply)."""
+    dot = lambda a, b, c: _dot(a, b, c, mxu)
+    R = ds_ref.shape[1]
+    Y = g_ref.shape[1]
+    m2x2 = Y // m3
+    dsm = ds_ref[...].reshape(kk * R, C2).astype(jnp.float32)
+    # --- the A(s) correction on [kk, Y, C2] mode blocks -------------------
+    # 2*ds2 is folded into wp2s' columns; for the g path scale g once
+    # (per-lane broadcast) — the row mirror commutes with per-lane scales
+    g3 = g_ref[...].astype(jnp.float32)
+    y3 = y_ref[...].astype(jnp.float32)
+    # dsc_ref rows: [0] = ds1 + 2*ds2*bp2, [1] = 2*ds2
+    dsc = dsc_ref[:]
+    gs = g3 * dsc[1:2][None]                       # [kk, Y, C2]
+    g4 = gs.reshape(kk, m2x2, m3, C2)
+    # kh-mirror j2 -> (2m2 - j2) % 2m2 as unrolled static slices (Mosaic
+    # has no `rev` lowering; 2m2 compile-time slices of m3 rows each)
+    gmir = jnp.concatenate(
+        [g4[:, 0:1]] + [g4[:, i:i + 1] for i in range(m2x2 - 1, 0, -1)],
+        axis=1).reshape(kk, Y, C2)
+    Mg = alf[:][None] * gs + bef[:][None] * gmir
+    Dy = (y3 * df[:][None]).reshape(kk * Y, C2)
+    Dyw = dot(Dy, wp2s_ref[:], (((1,), (0,)))).reshape(kk, Y, C2)
+    corr = Mg + Dyw + (dsc[0:1] * a1f[:])[None]
+    _k2a_adjoint_write(dsm, ihpt, iwet, iwot, selE, selO, dg_ref, dot,
+                       Hp=Hp, J=J, C2=C2, m3=m3, aligned=aligned, kk=kk,
+                       selfuse=selfuse, extra=corr)
+
+
+def _k2a_adjoint_write(ds_eff, ihpt, iwet, iwot, selE, selO, dg_ref, dot,
+                       *, Hp, J, C2, m3, aligned, kk, selfuse,
+                       extra=0.0):
+    C = C2 // 2
+    R = ds_eff.shape[0] // kk
     Hp8, J8 = -(-Hp // 8) * 8, -(-J // 8) * 8
     if aligned and selfuse:
         # adjoint inverse W straight off the row layout: contract J8 on the
@@ -412,8 +606,8 @@ def _k2a_kernel(s_ref, ds_ref, ds1_ref, ds2_ref,
     dgI3 = (Bm[:, :m2x2] - A[:, m2x2:]).reshape(kk, m3, C, m2x2)
     dgR = dgR3.transpose(0, 3, 1, 2).reshape(kk * m2x2 * m3, C)
     dgI = dgI3.transpose(0, 3, 1, 2).reshape(kk * m2x2 * m3, C)
-    dg_ref[...] = jnp.concatenate([dgR, dgI], axis=1).reshape(
-        kk, m2x2 * m3, C2).astype(dg_ref.dtype)
+    dg_ref[...] = (jnp.concatenate([dgR, dgI], axis=1).reshape(
+        kk, m2x2 * m3, C2) + extra).astype(dg_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -595,7 +789,8 @@ def _bt_blocks(BT: int, aligned: bool):
 def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
                  act: str, interpret: bool, x_dtype_str: str,
                  aligned: bool = False,
-                 kks: tuple = (1, 1, 1, 1), tdims=None, selfuse=True):
+                 kks: tuple = (1, 1, 1, 1), tdims=None, selfuse=True,
+                 k2alite: bool = False):
     """The four pallas_calls of one layer (K1, K2 forward; K2A, K12B
     backward) for one static configuration. With ``aligned`` the
     activation blocks are the pre-padded 8-aligned [Hp8*J8, C2] layout
@@ -643,15 +838,29 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
                    jax.ShapeDtypeStruct((2, C2), jnp.float32)),
         **cp,
     )
-    k2a = pl.pallas_call(
-        functools.partial(_k2a_kernel, **kw, kk=kk2a),
-        grid=(BT // kk2a,),
-        in_specs=[_blk(kk2a, R, C2), _blk(kk2a, R, C2), _full(), _full()]
-        + [_full()] * 5,
-        out_specs=_blk(kk2a, Y, C2),
-        out_shape=jax.ShapeDtypeStruct((BT, Y, C2), spec_dtype),
-        **cp,
-    )
+    if k2alite:
+        # ds-only adjoint: the (ds1, 2 ds2 s) terms become an in-kernel
+        # mode-space correction off the blocked g/y residuals (see
+        # _lite_consts) — one full-stream read instead of two
+        k2a = pl.pallas_call(
+            functools.partial(_k2a_lite_kernel, **kw, kk=kk2a),
+            grid=(BT // kk2a,),
+            in_specs=[_blk(kk2a, R, C2), _blk(kk2a, Y, C2),
+                      _blk(kk2a, Y, C2)] + [_full()] * 11,
+            out_specs=_blk(kk2a, Y, C2),
+            out_shape=jax.ShapeDtypeStruct((BT, Y, C2), spec_dtype),
+            **cp,
+        )
+    else:
+        k2a = pl.pallas_call(
+            functools.partial(_k2a_kernel, **kw, kk=kk2a),
+            grid=(BT // kk2a,),
+            in_specs=[_blk(kk2a, R, C2), _blk(kk2a, R, C2), _full(), _full()]
+            + [_full()] * 5,
+            out_specs=_blk(kk2a, Y, C2),
+            out_shape=jax.ShapeDtypeStruct((BT, Y, C2), spec_dtype),
+            **cp,
+        )
     k12b = pl.pallas_call(
         functools.partial(_k12b_kernel, **kw, kk=kk12b),
         grid=(BT // kk12b,),
@@ -681,7 +890,8 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
                 m1: int, m2: int, m3: int,
                 act: str, interpret: bool, x_dtype_str: str,
                 aligned: bool = False, kks: tuple = (1, 1, 1, 1),
-                in_valid=None, tstage=None, selfuse=True):
+                in_valid=None, tstage=None, selfuse=True,
+                k2alite: bool = False):
     """One fused FNO layer as a single custom_vjp:
 
       fwd:  K1 → mid_spectral (XLA) → K2
@@ -700,7 +910,15 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
     # first and leak it into later traces
     k1_call, k2_call, k2a_call, k12b_call = _layer_calls(
         BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str, aligned, kks,
-        tdims, selfuse)
+        tdims, selfuse, k2alite)
+    if k2alite:
+        alpha, beta, Dv, A1v = _lite_consts(Hp, 2 * J, m2, m3)
+        Yd = alpha.shape[0]
+        # kernel-ready [Y, C2] lane broadcasts of the per-(row, ri) scales
+        lane = lambda v: np.ascontiguousarray(np.concatenate(
+            [np.broadcast_to(v[:, 0:1], (Yd, C)),
+             np.broadcast_to(v[:, 1:2], (Yd, C))], axis=1), np.float32)
+        a1f, dff, alf, bef = lane(A1v), lane(Dv), lane(alpha), lane(beta)
     eyeC = np.eye(C, dtype=np.float32)
     zC = np.zeros((C, C), np.float32)
     selE = np.concatenate([eyeC, zC], axis=0)   # [2C, C]
@@ -738,7 +956,7 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
         g = mid_spectral(y, w_real, w_imag, B, Tp, mid_dtype=x_dtype,
                          tstage=tstage, interpret=interpret)
         s, stats = k2_call(g, x, a2, b2, wp2, bp2, *k2_consts)
-        return (s, stats), y
+        return (s, stats), (y, g)
 
     @jax.custom_vjp
     def layer(x, a, b, w_real, w_imag, wp, bp):
@@ -746,16 +964,35 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
         return out
 
     def layer_f(x, a, b, w_real, w_imag, wp, bp):
-        out, y = _fwd_impl(x, a, b, w_real, w_imag, wp, bp)
-        return out, (x, a, b, w_real, w_imag, wp, y, out[0])
+        out, (y, g) = _fwd_impl(x, a, b, w_real, w_imag, wp, bp)
+        # g is a residual only on the lite path (the 20 MB mode tensor
+        # buys back a full-stream read in the backward)
+        return out, (x, a, b, w_real, w_imag, wp, bp, y,
+                     g if k2alite else None, out[0])
 
     def layer_b(res, cot):
-        x, a, b, w_real, w_imag, wp, y, s = res
+        x, a, b, w_real, w_imag, wp, bp, y, g, s = res
         ds, dstats = cot
         ds1, ds2 = dstats[0:1], dstats[1:2]
         a2, b2 = _pack_affine(a, b, C)
         wp2t = _block_diag2(wp.astype(jnp.float32)).T
-        dg = k2a_call(s, ds, ds1, ds2, *k2a_consts)
+        if k2alite:
+            # in-kernel correction: dg = A(ds) + ds1*A1 + 2 ds2 * A(s)
+            # with A(s) from the blocked g/y mode residuals (ds1/ds2 have
+            # equal parity halves — the stats consumer folds parities —
+            # so the (p, c) lane vectors read correctly as (ri, c)).
+            # 2*ds2 folds into wp2s' columns and the dsc rows here, so the
+            # kernel's per-block work is elementwise + ONE small dot.
+            bp2 = jnp.concatenate([bp, bp], axis=1).astype(jnp.float32)
+            wp2 = _block_diag2(wp.astype(jnp.float32))
+            ds2x2 = 2.0 * ds2.astype(jnp.float32)
+            dsc = jnp.concatenate(
+                [ds1.astype(jnp.float32) + ds2x2 * bp2, ds2x2], axis=0)
+            wp2s = wp2 * ds2x2[0][None, :]
+            dg = k2a_call(ds, g, y, dsc, wp2s, *k2a_consts,
+                          alf, bef, a1f, dff)
+        else:
+            dg = k2a_call(s, ds, ds1, ds2, *k2a_consts)
         # the XLA mid-section is linear in y and in the weights; its vjp
         # carries the spectral-weight gradients and maps dg back to dy
         _, mid_vjp = jax.vjp(
@@ -1207,9 +1444,12 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
     tstage = None if _ts == "xla" else _ts
 
     selfuse = env_flag("REALPDEBENCH_FNO_SELFUSE", default=True)
+    # K2A-lite: backward reads only ds (A(s) reconstructed from saved mode-
+    # space residuals, see _lite_consts) — one full stream instead of two
+    k2alite = env_flag("REALPDEBENCH_FNO_K2ALITE", default=True)
     layer = _make_layer(B, Tp, Hp, Wp // 2, C, m1, m2, m3, act, interpret,
                         str(x.dtype), aligned, kks, in_valid, tstage,
-                        selfuse)
+                        selfuse, k2alite)
     return layer(x, a, b, w_real, w_imag, wp, bp)
 
 
