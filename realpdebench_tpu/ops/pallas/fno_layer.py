@@ -782,7 +782,9 @@ def _bt_blocks(BT: int, aligned: bool):
             "positive ints; using defaults")
     if not aligned:
         return (1, 1, 1, 1)
-    return (fit(4), fit(2), fit(2), fit(1))
+    # Chip A/B (bench_results/r5/ab_experiments_r5.jsonl, chipwork14):
+    # (4,2,2,1) = 4.836 steps/s, (8,4,4,1) = 4.918, (4,4,4,1) = 4.981.
+    return (fit(4), fit(4), fit(4), fit(1))
 
 
 @functools.lru_cache(maxsize=32)
