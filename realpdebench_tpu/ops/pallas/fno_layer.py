@@ -330,7 +330,7 @@ def _read_x(x_ref, xmask_ref, kk, tdims):
 
 def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp, xmask,
                y_ref, *, Hp, J, C2, m3, act, mxu, aligned, kk=1,
-               tdims=None, selfuse=True, hstage="base"):
+               tdims=None, selfuse=True):
     # selfuse is accepted for kwarg uniformity; K1's repacks are all
     # mode-space (~4x smaller than the K2-family ones the fold targets)
     """``kk`` = BT rows folded per grid block (aligned layout only): the
@@ -365,23 +365,6 @@ def _k1_kernel(x_ref, a2_ref, b2_ref, e67x, ehp, xmask,
     C = C2 // 2
     Xr = S[:, :C, 0:m3] + S[:, C:, 2 * m3:3 * m3]  # [kk*Hp8, C, m3]
     Xi = S[:, :C, m3:2 * m3] + S[:, C:, 3 * m3:]
-    if hstage == "subdot" and aligned:
-        # H stage off the natural row layout: contract the Hp8 SUBLANE axis
-        # directly (the W dot above already contracts a sublane axis, so
-        # Mosaic lowers this class) — the rows→lanes modeT corner turn
-        # never happens; only the final pack transpose remains
-        Xr4 = Xr.reshape(kk, Hp8, C, m3)
-        Xi4 = Xi.reshape(kk, Hp8, C, m3)
-        A = dot(Xr4, ehp[:], (((1,), (0,))))       # [kk, C, m3, 4m2]
-        Bm = dot(Xi4, ehp[:], (((1,), (0,))))
-        m2x2 = A.shape[-1] // 2
-        yR = A[..., :m2x2] - Bm[..., m2x2:]        # [kk, C, m3, 2m2]
-        yI = A[..., m2x2:] + Bm[..., :m2x2]
-        yRp = yR.transpose(0, 3, 2, 1).reshape(kk * m2x2 * m3, C)
-        yIp = yI.transpose(0, 3, 2, 1).reshape(kk * m2x2 * m3, C)
-        y_ref[...] = jnp.concatenate([yRp, yIp], axis=1).reshape(
-            kk, m2x2 * m3, C2).astype(y_ref.dtype)
-        return
     # H stage (contract Hp8): put Hp8 minor, then flatten (kk, C, m3) into
     # the matmul M dim — shared-RHS batched dots become ONE 2-D dot
     XrT = Xr.reshape(kk, Hp8, C, m3).transpose(0, 2, 3, 1).reshape(
@@ -809,7 +792,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
                  act: str, interpret: bool, x_dtype_str: str,
                  aligned: bool = False,
                  kks: tuple = (1, 1, 1, 1), tdims=None, selfuse=True,
-                 k2alite: bool = False, hstage: str = "base"):
+                 k2alite: bool = False):
     """The four pallas_calls of one layer (K1, K2 forward; K2A, K12B
     backward) for one static configuration. With ``aligned`` the
     activation blocks are the pre-padded 8-aligned [Hp8*J8, C2] layout
@@ -840,7 +823,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
     cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)
     kk1, kk2, kk2a, kk12b = kks
     k1 = pl.pallas_call(
-        functools.partial(_k1_kernel, **kw, kk=kk1, hstage=hstage),
+        functools.partial(_k1_kernel, **kw, kk=kk1),
         grid=(BT // kk1,),
         in_specs=[_blk(kk1, R, C2), _full(), _full()] + [_full()] * 3,
         out_specs=_blk(kk1, Y, C2),
@@ -910,7 +893,7 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
                 act: str, interpret: bool, x_dtype_str: str,
                 aligned: bool = False, kks: tuple = (1, 1, 1, 1),
                 in_valid=None, tstage=None, selfuse=True,
-                k2alite: bool = False, hstage: str = "base"):
+                k2alite: bool = False):
     """One fused FNO layer as a single custom_vjp:
 
       fwd:  K1 → mid_spectral (XLA) → K2
@@ -929,7 +912,7 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
     # first and leak it into later traces
     k1_call, k2_call, k2a_call, k12b_call = _layer_calls(
         BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str, aligned, kks,
-        tdims, selfuse, k2alite, hstage)
+        tdims, selfuse, k2alite)
     if k2alite:
         alpha, beta, Dv, A1v = _lite_consts(Hp, 2 * J, m2, m3)
         Yd = alpha.shape[0]
@@ -1466,13 +1449,9 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
     # K2A-lite: backward reads only ds (A(s) reconstructed from saved mode-
     # space residuals, see _lite_consts) — one full stream instead of two
     k2alite = env_flag("REALPDEBENCH_FNO_K2ALITE", default=True)
-    # K1 H-stage formulation: 'subdot' contracts Hp8 off the natural row
-    # layout (no modeT corner turn); chip A/B via fno_stage_probe2
-    hstage = env_choice("REALPDEBENCH_FNO_HSTAGE", ("base", "subdot"),
-                        "base")
     layer = _make_layer(B, Tp, Hp, Wp // 2, C, m1, m2, m3, act, interpret,
                         str(x.dtype), aligned, kks, in_valid, tstage,
-                        selfuse, k2alite, hstage)
+                        selfuse, k2alite)
     return layer(x, a, b, w_real, w_imag, wp, bp)
 
 
