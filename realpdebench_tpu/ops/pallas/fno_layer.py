@@ -782,9 +782,11 @@ def _bt_blocks(BT: int, aligned: bool):
             "positive ints; using defaults")
     if not aligned:
         return (1, 1, 1, 1)
-    # Chip A/B (bench_results/r5/ab_experiments_r5.jsonl, chipwork14):
-    # (4,2,2,1) = 4.836 steps/s, (8,4,4,1) = 4.918, (4,4,4,1) = 4.981.
-    return (fit(4), fit(4), fit(4), fit(1))
+    # Chip A/B (bench_results/r5/ab_experiments_r5.jsonl, chipwork14/15):
+    # (4,2,2,1) = 4.836 steps/s, (8,4,4,1) = 4.918, (4,4,4,1) = 4.981,
+    # (2,4,4,1) = 5.004, (4,4,4,2) = 5.086; full bench.py with (4,4,4,2)
+    # = 5.093 in a 10-minute wall (bench_full_r5_k12b2.json).
+    return (fit(4), fit(4), fit(4), fit(2))
 
 
 @functools.lru_cache(maxsize=32)

@@ -377,9 +377,9 @@ def test_bt_blocks_selection(monkeypatch):
     from realpdebench_tpu.ops.pallas.fno_layer import _bt_blocks
 
     monkeypatch.delenv("REALPDEBENCH_FNO_BTBLK", raising=False)
-    assert _bt_blocks(208, True) == (4, 4, 4, 1)
+    assert _bt_blocks(208, True) == (4, 4, 4, 2)
     assert _bt_blocks(13, True) == (1, 1, 1, 1)   # prime BT: nothing divides
-    assert _bt_blocks(26, True) == (2, 2, 2, 1)   # fit() drops 4 -> 2
+    assert _bt_blocks(26, True) == (2, 2, 2, 2)   # fit() drops 4 -> 2
     assert _bt_blocks(208, False) == (1, 1, 1, 1)  # legacy layout pins kk=1
     monkeypatch.setenv("REALPDEBENCH_FNO_BTBLK", "8,4,4,2")
     assert _bt_blocks(208, True) == (8, 4, 4, 2)
@@ -388,7 +388,7 @@ def test_bt_blocks_selection(monkeypatch):
     assert _bt_blocks(208, True) == (4, 1, 1, 1)  # 6 does not divide 208
     monkeypatch.setenv("REALPDEBENCH_FNO_BTBLK", "bogus")
     with pytest.warns(UserWarning):
-        assert _bt_blocks(208, True) == (4, 4, 4, 1)
+        assert _bt_blocks(208, True) == (4, 4, 4, 2)
 
 
 def test_fused_layer_in_valid_pad_early_parity():
