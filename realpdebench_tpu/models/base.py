@@ -36,6 +36,34 @@ def _host_cpu():
         return None
 
 
+def _dropout_stream(rng):
+    """Dropout PRNG stream for stochastic models.
+
+    Threefry bit generation dominates dropout-heavy TPU steps — the
+    galerkin profile (bench_results/r5/profile_galerkin_r5.log) shows the
+    mask generation + select chains as the top step cost. The ``rbg``
+    implementation lowers to XLA's RngBitGenerator (Philox) instead of a
+    software hash chain. The rbg key is derived deterministically from the
+    incoming threefry key, so seeded runs stay reproducible; rbg bits may
+    differ across backends/shardings, which is acceptable for dropout
+    noise (never used for parameter init). Set
+    ``REALPDEBENCH_DROPOUT_IMPL=threefry`` to restore the old stream.
+    """
+    if rng is None:
+        return None
+    from realpdebench_tpu.utils.misc import env_choice
+
+    if env_choice("REALPDEBENCH_DROPOUT_IMPL", ("rbg", "threefry"),
+                  "rbg") != "rbg":
+        return rng
+    data = rng
+    if not jnp.issubdtype(jnp.asarray(data).dtype, jnp.integer):
+        data = jax.random.key_data(rng)
+    data = jnp.asarray(data, jnp.uint32).reshape(-1)
+    return jax.random.wrap_key_data(
+        jnp.concatenate([data, data])[:4], impl="rbg")
+
+
 @dataclasses.dataclass
 class ModelBundle:
     name: str
@@ -94,7 +122,8 @@ class ModelBundle:
             # stochastic-eval variant (e.g. GKT reference_eval_dropout):
             # same program but with a dropout rng stream threaded through
             self._predict_jit_rng = jax.jit(
-                lambda v, xx, r: apply(v, xx, rngs={"dropout": r}, **kwargs)
+                lambda v, xx, r: apply(
+                    v, xx, rngs={"dropout": _dropout_stream(r)}, **kwargs)
             )
         if (
             self.stochastic
@@ -106,7 +135,7 @@ class ModelBundle:
 
     def _rngs(self, rng, train):
         if self.stochastic and train and rng is not None:
-            return {"rngs": {"dropout": rng}}
+            return {"rngs": {"dropout": _dropout_stream(rng)}}
         return {}
 
     def loss(self, variables, x, y, rng, train: bool = True):
