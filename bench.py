@@ -252,12 +252,18 @@ def main():
     if cpu_anchor.exists():
         try:
             a = json.loads(cpu_anchor.read_text())
+            import datetime
+
+            mtime = datetime.datetime.utcfromtimestamp(
+                cpu_anchor.stat().st_mtime).strftime("%Y-%m-%d")
             result["cpu_matched"] = {
                 "jax_over_torch_speedup": a["jax_over_torch_speedup"],
-                "note": a["note"],
+                "measured_on": a.get("measured_on", mtime),
+                "note": a["note"] + " — a point-in-time anchor, not "
+                "re-measured per bench run",
             }
-        except (KeyError, ValueError):
-            pass
+        except (KeyError, ValueError, OSError):
+            result["cpu_matched_error"] = "anchor file unreadable"
     print(json.dumps(result))
 
 

@@ -249,8 +249,8 @@ def _lite_consts(Hp: int, Wp: int, m2: int, m3: int):
     if resid > 1e-4:
         raise AssertionError(
             f"K2A-lite: A != diag(D) F at (Hp={Hp}, Wp={Wp}, m2={m2}, "
-            f"m3={m3}); residual {resid:.2e}. Set "
-            "REALPDEBENCH_FNO_K2ALITE=0 and report.")
+            f"m3={m3}); residual {resid:.2e} "
+            "(caller falls back to the full-read K2A)")
     eyeY = np.eye(2 * Y, dtype=np.float64).reshape(Y, 2, 2 * Y)
     M4 = A(V(eyeY)).reshape(Y, 2, Y, 2)   # [(row,ri)_out, (row,ri)_in]
     A1 = A(np.ones((Hp8, J8, 2, 1)))[:, :, 0]
@@ -283,8 +283,8 @@ def _lite_consts(Hp: int, Wp: int, m2: int, m3: int):
     if mres > 1e-5:
         raise AssertionError(
             f"K2A-lite: M is not (alpha, beta, kh-mirror)-structured at "
-            f"(Hp={Hp}, Wp={Wp}, m2={m2}, m3={m3}); residual {mres:.2e}. "
-            "Set REALPDEBENCH_FNO_K2ALITE=0 and report.")
+            f"(Hp={Hp}, Wp={Wp}, m2={m2}, m3={m3}); residual {mres:.2e} "
+            "(caller falls back to the full-read K2A)")
     f32 = lambda a: np.ascontiguousarray(a.astype(np.float32))
     return f32(alpha), f32(beta), f32(D), f32(A1)
 
@@ -794,7 +794,7 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
                  act: str, interpret: bool, x_dtype_str: str,
                  aligned: bool = False,
                  kks: tuple = (1, 1, 1, 1), tdims=None, selfuse=True,
-                 k2alite: bool = False):
+                 k2alite: bool = False, spec=None):
     """The four pallas_calls of one layer (K1, K2 forward; K2A, K12B
     backward) for one static configuration. With ``aligned`` the
     activation blocks are the pre-padded 8-aligned [Hp8*J8, C2] layout
@@ -813,13 +813,12 @@ def _layer_calls(BT: int, Hp: int, J: int, C2: int, m2: int, m3: int,
     # REALPDEBENCH_FNO_SPEC=f32 opts the boundary back to f32 so a
     # loss-curve regression can be bisected to this precision trade
     # (advisor r4) — it changes w_real/w_imag wgrad rounding, not traffic
-    # semantics.
-    from realpdebench_tpu.utils.misc import env_choice
-
-    _spec = env_choice("REALPDEBENCH_FNO_SPEC", ("bf16", "f32"), None)
+    # semantics. ``spec`` arrives as a CACHE-KEY argument (read from the
+    # env in fused_fno_layer, like TSTAGE/SELFUSE/K2ALITE) so in-process
+    # flips rebuild the calls instead of hitting a stale lru entry.
     spec_dtype = x_dtype if mxu is not None else jnp.float32
-    if _spec is not None:
-        spec_dtype = jnp.bfloat16 if _spec == "bf16" else jnp.float32
+    if spec is not None:
+        spec_dtype = jnp.bfloat16 if spec == "bf16" else jnp.float32
     kw = dict(Hp=Hp, J=J, C2=C2, m3=m3, act=act, mxu=mxu, aligned=aligned,
               tdims=tdims, selfuse=selfuse)
     cp = dict(interpret=interpret, compiler_params=_COMPILER_PARAMS)
@@ -895,7 +894,7 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
                 act: str, interpret: bool, x_dtype_str: str,
                 aligned: bool = False, kks: tuple = (1, 1, 1, 1),
                 in_valid=None, tstage=None, selfuse=True,
-                k2alite: bool = False):
+                k2alite: bool = False, spec=None):
     """One fused FNO layer as a single custom_vjp:
 
       fwd:  K1 → mid_spectral (XLA) → K2
@@ -912,11 +911,21 @@ def _make_layer(B: int, Tp: int, Hp: int, J: int, C: int,
     # closure constants stay NUMPY: this factory is lru_cached, so any
     # jnp.asarray here would capture a tracer from whichever jit trace ran
     # first and leak it into later traces
+    if k2alite:
+        # fetch the lite statics BEFORE building the calls: a geometry the
+        # structure fit rejects falls back to the proven full-read K2A
+        # (one warning) instead of crashing the first trace
+        try:
+            alpha, beta, Dv, A1v = _lite_consts(Hp, 2 * J, m2, m3)
+        except AssertionError as e:
+            import warnings
+
+            warnings.warn(f"K2A-lite disabled for this geometry: {e}")
+            k2alite = False
     k1_call, k2_call, k2a_call, k12b_call = _layer_calls(
         BT, Hp, J, C2, m2, m3, act, interpret, x_dtype_str, aligned, kks,
-        tdims, selfuse, k2alite)
+        tdims, selfuse, k2alite, spec)
     if k2alite:
-        alpha, beta, Dv, A1v = _lite_consts(Hp, 2 * J, m2, m3)
         Yd = alpha.shape[0]
         # kernel-ready [Y, C2] lane broadcasts of the per-(row, ri) scales
         lane = lambda v: np.ascontiguousarray(np.concatenate(
@@ -1451,9 +1460,10 @@ def fused_fno_layer(x, a, b, w_real, w_imag, wp, bp, *, dims, act,
     # K2A-lite: backward reads only ds (A(s) reconstructed from saved mode-
     # space residuals, see _lite_consts) — one full stream instead of two
     k2alite = env_flag("REALPDEBENCH_FNO_K2ALITE", default=True)
+    spec = env_choice("REALPDEBENCH_FNO_SPEC", ("bf16", "f32"), None)
     layer = _make_layer(B, Tp, Hp, Wp // 2, C, m1, m2, m3, act, interpret,
                         str(x.dtype), aligned, kks, in_valid, tstage,
-                        selfuse, k2alite)
+                        selfuse, k2alite, spec)
     return layer(x, a, b, w_real, w_imag, wp, bp)
 
 

@@ -23,7 +23,7 @@ from realpdebench_tpu.sim.ns2d import SolverConfig, simulate
 
 
 def generate_cylinder_sweep(dataset_root, scenario="cylinder", n_sim=4,
-                            n_frames=256, nx=128, ny=128, substeps=4,
+                            n_frames=256, nx=256, ny=128, substeps=4,
                             re_min=80.0, re_max=200.0, seed=0,
                             warmup_frames=64):
     out_dir = os.path.join(dataset_root, scenario, "numerical")
@@ -60,7 +60,7 @@ def main():
     parser.add_argument("--scenario", default="cylinder")
     parser.add_argument("--n-sim", type=int, default=4)
     parser.add_argument("--n-frames", type=int, default=256)
-    parser.add_argument("--nx", type=int, default=128)
+    parser.add_argument("--nx", type=int, default=256)
     parser.add_argument("--ny", type=int, default=128)
     parser.add_argument("--re-min", type=float, default=80.0)
     parser.add_argument("--re-max", type=float, default=200.0)
@@ -94,7 +94,7 @@ def main():
 
 
 
-def generate_controlled_sweep(dataset_root, n_sim=4, n_frames=256, nx=128,
+def generate_controlled_sweep(dataset_root, n_sim=4, n_frames=256, nx=256,
                               ny=128, substeps=4, re=150.0, seed=0,
                               warmup_frames=64, action_scale_min=0.2,
                               action_scale_max=1.0):
@@ -156,7 +156,7 @@ def generate_controlled_sweep(dataset_root, n_sim=4, n_frames=256, nx=128,
     return written
 
 
-def generate_fsi_sweep(dataset_root, n_sim=4, n_frames=256, nx=128, ny=128,
+def generate_fsi_sweep(dataset_root, n_sim=4, n_frames=256, nx=256, ny=128,
                        substeps=4, re_min=100.0, re_max=300.0, seed=0,
                        warmup_frames=64, stiffness_min=4.0,
                        stiffness_max=16.0):

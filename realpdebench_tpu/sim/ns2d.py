@@ -230,10 +230,14 @@ def make_stepper(cfg: SolverConfig) -> Callable:
         v_f2 = (1 - body) * v_p + body * vb
         fx = jnp.sum(u_p - u_f2) * cell_area / dt
         fy = jnp.sum(v_p - v_f2) * cell_area / dt
-        u_p2, v_p2, _ = project(u_f2, v_f2)
+        u_p2, v_p2, p2 = project(u_f2, v_f2)
         cd = fx / ref
         cl = fy / ref
-        return (u_p2, v_p2), (p, cd, cl)
+        # report the TOTAL pressure applied this step (both projections):
+        # the stored (u, v, p) triple must satisfy the discrete momentum
+        # balance of the returned velocities, and the second solve carries
+        # the body-interior correction
+        return (u_p2, v_p2), (p + p2, cd, cl)
 
     return step
 

@@ -139,6 +139,17 @@ def make_train_step(
                 # Gradient/loss averages are composition-invariant; ghost-
                 # batch BN statistics change composition only (documented
                 # deviation unchanged).
+                if (b // k) % mesh_ctx.dp_size:
+                    # communication-free only while the microbatch axis
+                    # (b//k) still shards evenly over dp; below that GSPMD
+                    # must reshard every step — loud, not silent
+                    import warnings
+
+                    warnings.warn(
+                        f"microbatch size {b}//{k}={b // k} is not a "
+                        f"multiple of dp={mesh_ctx.dp_size}: the strided "
+                        "grad-accum split will insert per-step resharding "
+                        "collectives; lower grad_accum or raise the batch")
                 xm = xn.reshape(b // k, k, *xn.shape[1:]).swapaxes(0, 1)
                 ym = yn.reshape(b // k, k, *yn.shape[1:]).swapaxes(0, 1)
                 mb_spec = lambda t: mesh_ctx.sharding(

@@ -241,6 +241,7 @@ def test_generate_fsi_consumable_by_dataset(tmp_path):
     assert np.isfinite(x).all()
 
 
+@pytest.mark.slow
 def test_strouhal_cd_anchor():
     """Quantitative physics anchor (VERDICT r4 next-9): at the default
     benchmark geometry the cylinder wake must shed with textbook Strouhal
