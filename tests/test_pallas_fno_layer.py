@@ -503,3 +503,21 @@ def test_selfuse_fold_matches_transpose_form(monkeypatch):
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, rtol=1e-5,
                                    atol=1e-5 * max(1.0, np.abs(w).max()))
+
+
+def test_k2alite_geometry_fallback(monkeypatch):
+    """A geometry the K2A-lite structure fit rejects must fall back to the
+    full-read K2A with a warning, not crash the first trace."""
+    import realpdebench_tpu.ops.pallas.fno_layer as F
+
+    def boom(*a, **k):
+        raise AssertionError("forced structure-fit failure")
+
+    monkeypatch.setattr(F, "_lite_consts", boom)
+    F._make_layer.cache_clear()
+    with pytest.warns(UserWarning, match="K2A-lite disabled"):
+        layer = F._make_layer(1, 2, 14, 10, 8, 2, 3, 4, "tanh", True,
+                              "float32", True, (1, 1, 1, 1), None, None,
+                              True, True, None)
+    assert layer is not None
+    F._make_layer.cache_clear()
